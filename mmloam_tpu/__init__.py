@@ -1,0 +1,29 @@
+"""mmloam_tpu — a TPU-native multi-modal LiDAR-inertial odometry & mapping engine.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of TIERS/multi-modal-loam
+(reference: /root/reference, a ROS1/PCL/Ceres C++ stack).  Instead of three OS
+processes communicating over TCPROS with mutex-guarded queues, kd-trees and a
+CPU nonlinear solver, this engine is a single pure function
+
+    step(state, frame) -> (state, outputs)
+
+driven by a pre-decoded sensor tensor store:
+
+* feature extraction   — fixed-shape curvature/classification kernels, vmapped
+                         over scan lines (reference: unionFeatureExtract.cpp:341)
+* IMU preintegration   — jax.lax.scan 15x15 propagation
+                         (reference: lio/IMUIntegrator.cpp:108)
+* map + KNN            — dense torus voxel grid with centroid cells and
+                         stencil-gather k-NN (reference: lio/Map_Manager.cpp,
+                         pcl::KdTreeFLANN 5-NN)
+* sliding-window MAP   — batched residual/Jacobian evaluation and an on-device
+                         dogleg trust-region solver over dense normal equations
+                         (reference: lio/Estimator.cpp:1143, Ceres DENSE_SCHUR)
+* marginalization      — 30-dim Schur complement with eigen thresholding
+                         (reference: utils/ceresfunc.h:149)
+
+Multi-sequence scale-out is plain data parallelism: `vmap(step)` over
+sequences on one chip and `shard_map` over a `jax.sharding.Mesh` across chips.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,153 @@
+"""Typed static configuration for the whole engine.
+
+The reference scatters configuration across the ROS parameter server
+(unionPoseEstimation.cpp:1399-1441, unionFeatureExtract.cpp:234-241,
+unionLidarsAligner.cpp:143-154), launch files (launch/mm_lio_full.launch) and
+hard-coded constants (Estimator.h:30,326; Map_Manager.h:117-120;
+IMUIntegrator.h:79-84; unionFeatureExtract.cpp:353-359).  Here everything is
+a frozen (hashable) dataclass so configs can be closed over by `jax.jit`
+without retracing, and shapes derived from them are static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ImuConfig:
+    """IMU noise model and constants (reference: IMUIntegrator.h:79-84)."""
+
+    acc_n: float = 0.08          # accelerometer noise density
+    gyr_n: float = 0.004         # gyroscope noise density
+    acc_w: float = 2.0e-4        # accelerometer bias random walk
+    gyr_w: float = 2.0e-5        # gyroscope bias random walk
+    lidar_m: float = 1.5e-3      # lidar measurement sigma (point factors)
+    gnorm: float = 9.805         # gravity magnitude
+    max_samples: int = 64        # static per-scan-interval IMU sample capacity
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """Edge/planar feature extraction thresholds
+    (reference: unionFeatureExtract.cpp:353-359 and detectFeaturePoints :341).
+    """
+
+    th_num_curv_size: int = 3        # half-window for curvature (adaptive 2/3)
+    th_distance_faraway: float = 50.0
+    th_num_flat: int = 1             # max flats chosen per segment
+    th_part_num: int = 50            # segments per scan line
+    th_flat_threshold: float = 0.02
+    th_lidar_nearest_dis: float = 1.0
+    th_break_corner_dis: float = 1.0
+    near_points_threshold: float = 2.0   # unionFeatureExtract.cpp:234
+    far_points_threshold: float = 50.0
+
+
+@dataclass(frozen=True)
+class ScanConfig:
+    """Static scan-tensor geometry (ring-organized, padded)."""
+
+    n_lines: int = 16            # scan lines / rings (VLP-16: 16, Horizon: 6)
+    max_pts_per_line: int = 1024  # padded points per line
+    # static capacities for compacted feature stacks (per scan)
+    max_corner: int = 512
+    max_surf: int = 2048
+    max_nonfeature: int = 512
+    # per-frame-stack downsample leaf sizes (reference Estimator.cpp:76-80,
+    # launch filter_parameter_corner=0.4 / filter_parameter_surf=0.2)
+    filter_corner: float = 0.4
+    filter_surf: float = 0.2
+    filter_nonfeature: float = 0.4
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Dense torus voxel-grid map.
+
+    Replaces the reference's 21x11x21 grid of 50 m cubes with per-cube
+    kd-trees and VoxelGrid downsampling (Map_Manager.h:117-120,
+    Map_Manager.cpp:125-286).  Each cell stores the running centroid of the
+    points that fell into it — equivalent to the reference's voxel-grid
+    downsampled map at the same leaf size.  Slots are addressed modulo the
+    grid dims, so recentering (MapMove, Map_Manager.cpp:288) is free: a cell
+    is valid only if its stored integer voxel coordinate matches the queried
+    one, which implicitly evicts stale cells as the window scrolls.
+    """
+
+    voxel_size: float = 0.4          # leaf size (= reference map downsample)
+    dim_x: int = 256                 # torus dims (power of two)
+    dim_y: int = 256
+    dim_z: int = 64
+    count_cap: float = 100.0         # running-mean inertia cap
+    # stencil half-extent per axis for k-NN gather (1 -> 3x3x3 = 27 cells)
+    stencil_x: int = 1
+    stencil_y: int = 1
+    stencil_z: int = 1
+    knn: int = 5                     # neighbors per query (reference: 5-NN)
+
+    @property
+    def dims(self) -> tuple[int, int, int]:
+        return (self.dim_x, self.dim_y, self.dim_z)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Sliding-window MAP solver (reference: Estimator.cpp:1143-1581)."""
+
+    window: int = 5                  # SLIDEWINDOWSIZE (Estimator.h:30)
+    max_outer_iters: int = 5         # outer relinearize/assoc loop (:1210)
+    max_inner_iters: int = 10        # dogleg iterations per outer (:1428)
+    thres_dist: float = 1.0          # 5th-NN squared-dist gate, full window
+    thres_dist_short: float = 25.0   # short-window gate (:1207)
+    plan_weight_tan: float = 0.0003  # tangential plane weight (:1203)
+    huber_delta_scale: float = 0.1   # HuberLoss(0.1/lidar_m) (:1216)
+    converge_rot_deg: float = 0.05   # outer convergence thresholds (:1448)
+    converge_trans: float = 0.05
+    marg_eps: float = 1.0e-8         # eigen threshold (ceresfunc.h:261)
+    init_radius: float = 1.0e4       # initial trust-region radius (Ceres default)
+    min_plane_normals: int = 10      # localizability gate (Estimator.cpp:540)
+    degenerate_sv: float = 2.0       # smallest singular value gate (:553)
+    corner_cnt_gate_hori: int = 100  # pose-acceptance gates (:1041-1046)
+    corner_cnt_gate_velo: int = 50
+    map_move_dist_sq: float = 0.5    # map update min move (m^2) (:1083,:1125)
+
+
+@dataclass(frozen=True)
+class FailsafeConfig:
+    """Failure detection / fallback gates (SURVEY §5.3)."""
+
+    velo_rotate_th: float = 1.5      # |yaw rate| gates (launch :45-46)
+    hori_rotate_th: float = 0.3
+    cross_angular_th: float = 0.1    # hori/velo pose divergence gates
+    cross_planar_th_sq: float = 0.1  # (unionPoseEstimation.cpp:1196-1208)
+    init_bias_bound: float = 0.5     # init sanity (unionPoseEstimation.cpp:583)
+    init_velocity_bound: float = 2.0
+
+
+@dataclass(frozen=True)
+class LIOConfig:
+    """Top-level engine configuration."""
+
+    imu: ImuConfig = ImuConfig()
+    feature: FeatureConfig = FeatureConfig()
+    scan: ScanConfig = ScanConfig()
+    map: MapConfig = MapConfig()
+    solver: SolverConfig = SolverConfig()
+    failsafe: FailsafeConfig = FailsafeConfig()
+    velo_only_mode: bool = False     # reference: Velo_Only_Mode rosparam
+    imu_mode: int = 2                # 0: none, 1: gyro predict, 2: tightly coupled
+
+    def replace(self, **kw) -> "LIOConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_config() -> LIOConfig:
+    """Small shapes for unit tests / CPU dry-runs."""
+    return LIOConfig(
+        scan=ScanConfig(n_lines=4, max_pts_per_line=256,
+                        max_corner=128, max_surf=256, max_nonfeature=64),
+        map=MapConfig(dim_x=64, dim_y=64, dim_z=32),
+        imu=ImuConfig(max_samples=32),
+    )

@@ -1,0 +1,160 @@
+"""IMU preintegration on the manifold, as a `jax.lax.scan`.
+
+Re-implements the semantics of the reference's per-sample CPU loop
+(reference: lio/IMUIntegrator.cpp:108-166 `PreIntegration`,
+:90-106 `GyroIntegration`, :168-181 `GetAverageAcc`) with masked fixed-shape
+IMU windows so the whole thing jits and vmaps.
+
+State order matches `IMUIntegrator::JacobianOrder` (IMUIntegrator.h:86-93):
+    O_P = 0, O_R = 3, O_V = 6, O_BG = 9, O_BA = 12
+Noise vector order matches the ctor (IMUIntegrator.cpp:35-38):
+    [gyr_n, acc_n, gyr_w, acc_w] as 3x3 diagonal blocks.
+
+Input convention: a scan interval carries up to `M` IMU samples as arrays
+`acc (M,3)` [in g units, scaled by gnorm here like the reference],
+`gyr (M,3)`, `dt (M,)` (time delta from the previous sample or interval
+start) and a validity `mask (M,)`.  Masked samples are no-ops (dt=0).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import lie
+
+
+class PreintResult(NamedTuple):
+    """Equivalent of the reference IMUIntegrator's accumulated quantities."""
+
+    dq: jnp.ndarray        # (4,) delta orientation quaternion (w,x,y,z)
+    dp: jnp.ndarray        # (3,) delta position
+    dv: jnp.ndarray        # (3,) delta velocity
+    cov: jnp.ndarray       # (15,15) covariance of [P R V BG BA]
+    jac: jnp.ndarray       # (15,15) bias Jacobian (A-chain product)
+    dtime: jnp.ndarray     # () total integrated time
+    bg: jnp.ndarray        # (3,) linearization gyro bias
+    ba: jnp.ndarray        # (3,) linearization acc bias
+
+
+def _noise_matrix(imu_cfg, dtype):
+    n = jnp.zeros((12, 12), dtype)
+    n = n.at[0:3, 0:3].set(jnp.eye(3, dtype=dtype) * imu_cfg.gyr_n**2)
+    n = n.at[3:6, 3:6].set(jnp.eye(3, dtype=dtype) * imu_cfg.acc_n**2)
+    n = n.at[6:9, 6:9].set(jnp.eye(3, dtype=dtype) * imu_cfg.gyr_w**2)
+    n = n.at[9:12, 9:12].set(jnp.eye(3, dtype=dtype) * imu_cfg.acc_w**2)
+    return n
+
+
+def preintegrate(acc, gyr, dt, mask, bg, ba, imu_cfg) -> PreintResult:
+    """Masked fixed-length preintegration (IMUIntegrator.cpp:108-166).
+
+    `acc` is the raw accelerometer reading in g units; the reference scales
+    by gnorm (IMUIntegrator.cpp:119-121).
+    """
+    dtype = acc.dtype
+    noise = _noise_matrix(imu_cfg, dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    def body(carry, x):
+        dq, dp, dv, cov, jac = carry
+        a_raw, w_raw, dt_i, m = x
+        dt_i = jnp.where(m, dt_i, 0.0).astype(dtype)
+        a = a_raw * imu_cfg.gnorm - ba
+        w = w_raw - bg
+        dt2 = dt_i * dt_i
+
+        w_dt = w * dt_i
+        dR = lie.exp_matrix(w_dt)
+        Jr = lie.right_jacobian(w_dt)
+        Rk = lie.quat_to_matrix(dq)
+        a_hat = lie.hat(a)
+
+        A = jnp.eye(15, dtype=dtype)
+        A = A.at[0:3, 3:6].set(-0.5 * Rk @ a_hat * dt2)
+        A = A.at[0:3, 6:9].set(eye3 * dt_i)
+        A = A.at[0:3, 12:15].set(-0.5 * Rk * dt2)
+        A = A.at[3:6, 3:6].set(dR.T)
+        A = A.at[3:6, 9:12].set(-Jr * dt_i)
+        A = A.at[6:9, 3:6].set(-Rk @ a_hat * dt_i)
+        A = A.at[6:9, 12:15].set(-Rk * dt_i)
+
+        B = jnp.zeros((15, 12), dtype)
+        B = B.at[0:3, 3:6].set(0.5 * Rk * dt2)
+        B = B.at[3:6, 0:3].set(Jr * dt_i)
+        B = B.at[6:9, 3:6].set(Rk * dt_i)
+        B = B.at[9:12, 6:9].set(eye3 * dt_i)
+        B = B.at[12:15, 9:12].set(eye3 * dt_i)
+
+        jac_n = A @ jac
+        cov_n = A @ cov @ A.T + B @ noise @ B.T
+        dp_n = dp + dv * dt_i + 0.5 * (Rk @ a) * dt2
+        dv_n = dv + (Rk @ a) * dt_i
+        dq_n = lie.quat_normalize(lie.quat_mul(dq, lie.exp_quat(w_dt)))
+
+        # masked samples leave the carry untouched
+        keep = m
+        dq = jnp.where(keep, dq_n, dq)
+        dp = jnp.where(keep, dp_n, dp)
+        dv = jnp.where(keep, dv_n, dv)
+        cov = jnp.where(keep, cov_n, cov)
+        jac = jnp.where(keep, jac_n, jac)
+        return (dq, dp, dv, cov, jac), None
+
+    init = (
+        jnp.array([1.0, 0.0, 0.0, 0.0], dtype),
+        jnp.zeros(3, dtype),
+        jnp.zeros(3, dtype),
+        jnp.zeros((15, 15), dtype),
+        jnp.eye(15, dtype=dtype),
+    )
+    (dq, dp, dv, cov, jac), _ = jax.lax.scan(body, init, (acc, gyr, dt, mask))
+    dtime = jnp.sum(jnp.where(mask, dt, 0.0)).astype(dtype)
+    return PreintResult(dq, dp, dv, cov, jac, dtime, bg, ba)
+
+
+def gyro_integrate(gyr, dt, mask):
+    """Orientation-only integration (IMUIntegrator.cpp:90-106)."""
+
+    def body(dq, x):
+        w, dt_i, m = x
+        dq_n = lie.quat_normalize(lie.quat_mul(dq, lie.exp_quat(w * dt_i)))
+        return jnp.where(m, dq_n, dq), None
+
+    init = jnp.array([1.0, 0.0, 0.0, 0.0], gyr.dtype)
+    dq, _ = jax.lax.scan(body, init, (gyr, dt, mask))
+    return dq
+
+
+def average_acc(acc, mask, imu_cfg, max_count: int = 31):
+    """Mean of the first <=31 valid samples, scaled by gnorm
+    (IMUIntegrator.cpp:168-181: breaks after i > 30)."""
+    idx = jnp.cumsum(mask.astype(jnp.int32))
+    take = mask & (idx <= max_count)
+    n = jnp.maximum(jnp.sum(take.astype(acc.dtype)), 1.0)
+    return jnp.sum(acc * take[:, None].astype(acc.dtype), axis=0) * imu_cfg.gnorm / n
+
+
+def sqrt_info_from_cov(cov, eps: float = 1e-12):
+    """Upper-triangular sqrt information: chol(cov^-1)^T as used by the
+    reference (Estimator.cpp:1240-1242 `LLT(cov.inverse()).matrixL().T`).
+
+    The covariance blocks span ~10 orders of magnitude, so a symmetric
+    diagonal rescaling keeps the f32 Cholesky well-conditioned on TPU:
+        cov = S C S  =>  cov^-1 = S^-1 C^-1 S^-1,
+        sqrt_info = chol(C^-1)^T S^-1  (since (L S^-1)(S^-1 L^T) = cov^-1
+        with the scaling diagonal commuting into the triangular factor only
+        up to similarity — we fold S^-1 on the right which preserves
+        J^T J = cov^-1, the only property the solver uses).
+    """
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(cov, axis1=-2, axis2=-1), eps))
+    S_inv = 1.0 / d
+    C = cov * S_inv[..., :, None] * S_inv[..., None, :]
+    n = cov.shape[-1]
+    C = C + jnp.eye(n, dtype=cov.dtype) * 1e-6
+    C_inv = jnp.linalg.inv(C)
+    C_inv = 0.5 * (C_inv + jnp.swapaxes(C_inv, -1, -2))
+    L = jnp.linalg.cholesky(C_inv + jnp.eye(n, dtype=cov.dtype) * 1e-8)
+    return jnp.swapaxes(L, -1, -2) * S_inv[..., None, :]
