@@ -1,0 +1,288 @@
+"""Edge / planar feature extraction as fixed-shape masked tensor ops.
+
+Re-implements the semantics of the reference's per-scan-line hot loop
+`feature_extraction::detectFeaturePoints` (unionFeatureExtract.cpp:341-844),
+which the reference parallelizes with one std::thread per Horizon scan line
+(:1008-1015) and a serial loop over the 16 Velodyne rings (:1228-1230).
+Here one scan line is one fixed-shape kernel, `vmap`ped over lines, scans,
+and sequences — the natural TPU replacement for both threading schemes.
+
+Input: one scan line as padded arrays `pts (N,3)`, `intensity (N,)`,
+`n_valid ()`.  Valid points must be a contiguous prefix (the host decoder
+compacts non-finite points, mirroring :369-388).
+
+Output: per-point labels, matching the reference's `normal_z` convention
+(unionFeatureExtract.cpp:1018-1021): 0 = none, 1 = corner, 2 = surf.
+
+Phases (matching the reference loop structure):
+  1. adaptive curvature / depth / reflectivity-contrast / angle flags
+  2. per-segment flat selection (50 segments, curvature-sorted, with
+     neighbor suppression) — vmapped over segments with a small lax.scan in
+     sorted order inside each segment
+  3. "break corner" detection (surf-surf fold, flag 150) — a lax.scan
+     reproduces the data-dependent `count_num` stride (:543,:603-608)
+  4. depth-gap corner detection and rejection (flags 100 -> 101)
+  5. final label assembly with the near-distance crop (:818-842)
+
+Known deviations (documented; each affects <1% of points):
+  * neighbor suppression in phase 2 does not cross segment boundaries;
+  * phase 2 uses each point's own adaptive curvature half-window for
+    neighbor marking instead of the C++ loop-carried leftover variable;
+  * the back-normal depth gate in phase 4 uses the i+k point's depth (the
+    C++ reads i-k's depth there, unionFeatureExtract.cpp:782 — transcribing
+    the evident intent).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+BIG = 1e9
+
+
+def _segment_pass(order, curv, depth, angle, reflect, flat_th_sq, curv_half,
+                  gap_ok_r, gap_ok_l, th_num_flat):
+    """Sequential pass over one segment in curvature-ascending order.
+
+    Reproduces unionFeatureExtract.cpp:481-539 for a segment of static size
+    S.  `order` are positions (into the segment-local arrays) sorted by
+    curvature; padded entries point at a sentinel slot with +inf curvature.
+    Returns segment-local flags: 0 none, 1 suppressed-neighbor, 2 chosen
+    flat, 3 flat candidate, 300 reflectivity pick.
+    """
+    S = order.shape[0]
+
+    def body_a(flags, pos):
+        # flag==0 gate, then candidate test and neighbor suppression
+        is_free = flags[pos] == 0
+        is_cand = is_free & (curv[pos] < flat_th_sq[pos])
+        flags = flags.at[pos].set(jnp.where(is_cand, 3, flags[pos]))
+        # mark up to 3 neighbors each side while the inter-point gap stays
+        # small and the point is not faraway (:492-517)
+        half = curv_half[pos]
+
+        def mark(flags, l):
+            ok_r = (l <= half) & is_cand & gap_ok_r[pos, l - 1]
+            ok_l = (l <= half) & is_cand & gap_ok_l[pos, l - 1]
+            pr = jnp.clip(pos + l, 0, S - 1)
+            pl = jnp.clip(pos - l, 0, S - 1)
+            flags = flags.at[pr].set(jnp.where(ok_r & (flags[pr] == 0), 1, flags[pr]))
+            flags = flags.at[pl].set(jnp.where(ok_l & (flags[pl] == 0), 1, flags[pl]))
+            return flags
+
+        for l in (1, 2, 3):
+            flags = mark(flags, l)
+        return flags, None
+
+    flags0 = jnp.zeros((S,), jnp.int32)
+    flags, _ = jax.lax.scan(body_a, flags0, order)
+
+    def body_b(carry, pos):
+        flags, picked, rpicked = carry
+        # flat selection (:521-531)
+        sel = ((flags[pos] == 3) & (picked <= th_num_flat)) | \
+              ((flags[pos] == 3) & (depth[pos] > 50.0)) | (angle[pos] == 1)
+        picked = picked + jnp.where(sel, 1, 0)  # increments on any pick (:526)
+        flags = flags.at[pos].set(jnp.where(sel, 2, flags[pos]))
+        return (flags, picked, rpicked), None
+
+    (flags, _, _), _ = jax.lax.scan(body_b, (flags, jnp.int32(1), jnp.int32(1)), order)
+
+    # reflectivity picks (:533-538): up to 3 per segment, reflect-ascending
+    rorder = jnp.argsort(jnp.where(jnp.isfinite(reflect), reflect, BIG),
+                         stable=True)
+
+    def body_c(carry, pos):
+        flags, rpicked = carry
+        sel = (curv[pos] < 0.7 * flat_th_sq[pos]) & (rpicked <= 3) & (reflect[pos] > 20.0)
+        rpicked = rpicked + jnp.where(sel, 1, 0)
+        flags = flags.at[pos].set(jnp.where(sel, 300, flags[pos]))
+        return (flags, rpicked), None
+
+    (flags, _), _ = jax.lax.scan(body_c, (flags, jnp.int32(1)), rorder)
+    return flags
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_line_features(pts, intensity, n_valid, cfg):
+    """Feature labels for one padded scan line.
+
+    Returns int32 labels (N,): 0 none, 1 corner, 2 surf.
+    """
+    f = cfg.feature
+    N = pts.shape[0]
+    dtype = pts.dtype
+    idx = jnp.arange(N)
+    valid = idx < n_valid
+    interior = valid & (idx >= 5) & (idx < jnp.maximum(n_valid - 5, 0))
+
+    # -------- phase 1: curvature & friends (:407-451) --------
+    dis = jnp.linalg.norm(pts, axis=-1)
+    p_prev = jnp.roll(pts, 1, axis=0)
+    p_next = jnp.roll(pts, -1, axis=0)
+
+    def cosang(a, b):
+        return jnp.sum(a * b, axis=-1) / jnp.maximum(
+            jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1), 1e-9)
+
+    angle_last = cosang(p_prev - pts, pts)
+    angle_next = cosang(p_next - pts, pts)
+    both_steep = (jnp.abs(angle_last) > 0.966) & (jnp.abs(angle_next) > 0.966)
+    curv_half = jnp.where((dis > f.th_distance_faraway) | both_steep, 2, 3)
+    angle_flag = jnp.where(both_steep & interior, 1, 0)
+
+    def window_sum(x, s):
+        """sum_{j=1..s} (x[i-j] + x[i+j]) - 2 s x[i], per point."""
+        acc = -2.0 * s * x
+        for j in range(1, s + 1):
+            acc = acc + jnp.roll(x, j, axis=0) + jnp.roll(x, -j, axis=0)
+        return acc
+
+    curvs = []
+    refls = []
+    for s in (2, 3):
+        dx = window_sum(pts[:, 0], s)
+        dy = window_sum(pts[:, 1], s)
+        dz = window_sum(pts[:, 2], s)
+        curvs.append(dx * dx + dy * dy + dz * dz)
+        refls.append(window_sum(intensity, s))
+    curvature = jnp.where(curv_half == 2, curvs[0], curvs[1])
+    reflect = jnp.where(curv_half == 2, refls[0], refls[1])
+    flat_th_sq = (f.th_flat_threshold * dis) ** 2
+
+    # inter-point squared gaps for neighbor suppression (:492-517):
+    # gap_ok_r[i, l-1] means all gaps between i..i+l are <= 0.02 and i not far
+    gap_sq = jnp.sum((p_next - pts) ** 2, axis=-1)  # gap between i and i+1
+
+    def chain_ok(shift_sign):
+        oks = []
+        ok = jnp.ones(N, bool)
+        for l in range(1, 4):
+            if shift_sign > 0:
+                g = jnp.roll(gap_sq, -(l - 1))  # gap (i+l-1, i+l)
+            else:
+                g = jnp.roll(gap_sq, l)         # gap (i-l, i-l+1)
+            ok = ok & (g <= 0.02)
+            oks.append(ok & (dis <= f.th_distance_faraway))
+        return jnp.stack(oks, axis=-1)
+
+    gap_ok_r = chain_ok(+1)
+    gap_ok_l = chain_ok(-1)
+
+    # -------- phase 2: segmented flat selection (:453-541) --------
+    P = f.th_part_num
+    S = max(-(-N // P), 8)  # static segment capacity
+    # segment s covers [start_s, start_s + len_s) inside [5, n_valid-6)
+    scan_start = 5
+    scan_end = jnp.maximum(n_valid - 6, 5)
+    seg_ids = jnp.arange(P)
+    sp = scan_start + (scan_end - scan_start) * seg_ids // P
+    ep = scan_start + (scan_end - scan_start) * (seg_ids + 1) // P  # exclusive
+
+    def one_segment(s_start, s_end):
+        pos = s_start + jnp.arange(S)
+        in_seg = pos < s_end
+        g = jnp.clip(pos, 0, N - 1)
+        c = jnp.where(in_seg, curvature[g], BIG)
+        order = jnp.argsort(c, stable=True)
+        flags = _segment_pass(
+            order, c, jnp.where(in_seg, dis[g], 0.0),
+            jnp.where(in_seg, angle_flag[g], 0),
+            jnp.where(in_seg, reflect[g], -BIG),
+            jnp.where(in_seg, flat_th_sq[g], -1.0),
+            jnp.where(in_seg, curv_half[g], 0),
+            gap_ok_r[g] & in_seg[:, None], gap_ok_l[g] & in_seg[:, None],
+            f.th_num_flat)
+        return jnp.where(in_seg, flags, 0), g
+
+    seg_flags, seg_pos = jax.vmap(one_segment)(sp, ep)
+    flags = jnp.zeros(N, jnp.int32).at[seg_pos.reshape(-1)].max(
+        seg_flags.reshape(-1), mode="drop")
+    flags = jnp.where(interior, flags, 0)
+
+    # -------- phase 3: break corners, flag 150 (:543-650) --------
+    def side_curv(sign):
+        # e.g. left: p[i-4]+p[i-3]-4p[i-2]+p[i-1]+p[i]
+        acc = pts.copy()
+        for j, w in ((1, 1.0), (2, -4.0), (3, 1.0), (4, 1.0)):
+            acc = acc + w * jnp.roll(pts, sign * j, axis=0)
+        return jnp.sum(acc * acc, axis=-1)
+
+    left_curv = side_curv(+1)   # roll +j reads p[i-j]
+    right_curv = side_curv(-1)
+    left_flat = left_curv < f.th_flat_threshold * dis
+    right_flat = right_curv < f.th_flat_threshold * dis
+
+    def weighted_norm(sign):
+        acc = jnp.zeros_like(pts)
+        for k in range(1, 5):
+            d = jnp.roll(pts, -sign * k, axis=0) - pts
+            d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+            acc = acc + (k / 10.0) * d
+        return acc
+
+    norm_left = weighted_norm(-1)   # uses p[i-k]
+    norm_right = weighted_norm(+1)  # uses p[i+k]
+    cc_fold = jnp.abs(cosang(norm_left, norm_right))
+    last_dis = jnp.linalg.norm(jnp.roll(pts, 4, axis=0) - pts, axis=-1)
+    curr_dis = jnp.linalg.norm(jnp.roll(pts, -4, axis=0) - pts, axis=-1)
+    # Deviation from the reference: its serial loop advances `i += 4` after
+    # any right-flat evaluation (:603), so whether a fold lands on an
+    # evaluated index depends on phase alignment and genuine fold corners
+    # are dropped ~half the time on clean geometry.  On TPU every lane is
+    # computed anyway, so we evaluate all points — a strict superset of the
+    # reference's detections; the downstream 0.4 m corner voxel filter
+    # merges the (at most 2) adjacent marks a single fold produces.
+    break_cond = left_flat & right_flat & (cc_fold < 0.5) & \
+        (last_dis > 0.05) & (curr_dis > 0.05) & interior
+    flags = jnp.where(break_cond, 150, flags)
+
+    # -------- phase 4: depth-gap corners, 100 -> 101 (:651-806) --------
+    dr0 = jnp.linalg.norm(p_next - pts, axis=-1)
+    dl0 = jnp.linalg.norm(p_prev - pts, axis=-1)
+    depth_right = jnp.roll(dis, -1)
+    depth_left = jnp.roll(dis, 1)
+    gap_break = jnp.abs(dr0 - dl0) > f.th_break_corner_dis
+
+    cc_left = jnp.abs(cosang(p_prev - pts, pts))   # right side farther case
+    cc_right = jnp.abs(cosang(p_next - pts, pts))
+    right_farther = dr0 > dl0
+    cond_rf = gap_break & right_farther & (cc_left < 0.95) & \
+        ((depth_right > depth_left) | (depth_right == 0))
+    cond_lf = gap_break & ~right_farther & (cc_right < 0.95) & \
+        ((depth_right < depth_left) | (depth_left == 0))
+    is_gap_corner = (cond_rf | cond_lf) & interior
+
+    # rejection: compare weighted front/back normals (:756-804)
+    def masked_norm(sign):
+        acc = jnp.zeros_like(pts)
+        for k in range(1, 4):
+            nb = jnp.roll(pts, -sign * k, axis=0)
+            ok = jnp.linalg.norm(nb, axis=-1) >= 1.0
+            d = nb - pts
+            d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+            acc = acc + jnp.where(ok[:, None], (k / 6.0) * d, 0.0)
+        return acc
+
+    nf = masked_norm(-1)
+    nb = masked_norm(+1)
+    cc_gap = jnp.abs(cosang(nf, nb))
+    accepted_gap = is_gap_corner & (cc_gap < 0.95)
+    flags = jnp.where(is_gap_corner, jnp.where(accepted_gap, 100, 101), flags)
+
+    # -------- phase 5: final labels (:818-842) --------
+    near_ok = dis * dis >= f.th_lidar_nearest_dis ** 2
+    labels = jnp.zeros(N, jnp.int32)
+    labels = jnp.where(interior & near_ok & (flags == 2), 2, labels)
+    labels = jnp.where(interior & near_ok & ((flags == 100) | (flags == 150)),
+                       1, labels)
+    return labels
+
+
+def extract_scan_features(pts, intensity, n_valid, cfg):
+    """vmap over scan lines: pts (L,N,3), intensity (L,N), n_valid (L,)."""
+    return jax.vmap(lambda p, i, n: extract_line_features(p, i, n, cfg))(
+        pts, intensity, n_valid)
