@@ -1,0 +1,165 @@
+"""Torus voxel-grid map: fixed-shape scatter insert + stencil k-NN gather.
+
+TPU-native replacement for the reference's global map (Map_Manager.cpp):
+a 21x11x21 grid of 50 m cubes, each holding a point cloud that is
+voxel-grid downsampled past 300 points and indexed by a per-cube KD-tree
+(Map_Manager.h:117-120, Map_Manager.cpp:125-286), with `MapMove` scrolling
+the grid to keep the pose away from the edge (:288-581) and `nearestKSearch`
+5-NN queries during factor building (Estimator.cpp:160,380,585).
+
+Design here (no trees, no scrolling copies):
+  * One cell per `voxel_size` leaf — equivalent to the reference's
+    VoxelGrid-downsampled map at the same leaf, since a downsampled cloud
+    has exactly one point (the centroid) per leaf.
+  * Cells are addressed modulo the grid dims (a 3-D torus).  Two voxels
+    collide only when they are `dim * voxel_size` apart (~100 m at the
+    defaults), far beyond matching range; the cell stores the packed
+    quotient of its true voxel coordinate, so stale cells from a previous
+    pass of the torus are detected at query time and overwritten at insert
+    time.  This reproduces `MapMove`'s drop-far-cubes semantics with zero
+    data movement.
+  * Insert is a masked scatter-add of (point - voxel corner) plus a count;
+    the centroid is reconstructed as `corner + sum/count`.  Accumulating
+    corner-relative sums keeps f32 exact regardless of world coordinates.
+  * k-NN is a gather over the 3x3x3 stencil of neighboring cells followed
+    by a top-k over (masked) centroid distances — fixed shape, fully
+    vmappable, replaces `KdTreeFLANN::nearestKSearch`.
+
+The reference's triple-buffered map snapshots (Map_Manager.cpp:132-146,
+Estimator.cpp:1170-1184) existed to let matching run against a consistent
+map while a background thread appends; a pure-functional map value makes
+that machinery unnecessary.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# packed-quotient sentinel for "empty cell" (static int: also used as a
+# scatter fill_value, which must be hashable)
+_EMPTY = 0x7FFFFFFF
+
+
+class VoxelMap(NamedTuple):
+    """One feature class's map (corner, surf, or non-feature)."""
+
+    sum_rel: jnp.ndarray   # (C, 3) f32 — sum of (p - voxel corner) per cell
+    count: jnp.ndarray     # (C,)  f32 — number of points accumulated
+    key: jnp.ndarray       # (C,)  i32 — packed voxel-coordinate quotient
+
+
+def empty_map(cfg) -> VoxelMap:
+    c = cfg.dim_x * cfg.dim_y * cfg.dim_z
+    return VoxelMap(
+        sum_rel=jnp.zeros((c, 3), jnp.float32),
+        count=jnp.zeros((c,), jnp.float32),
+        key=jnp.full((c,), _EMPTY, jnp.int32),
+    )
+
+
+def _voxel_coords(pts, cfg):
+    """Integer voxel coordinates (floor) of points."""
+    return jnp.floor(pts / cfg.voxel_size).astype(jnp.int32)
+
+
+def _slot_and_key(v, cfg):
+    """Torus slot index and packed quotient key for voxel coords v (..., 3).
+
+    slot = (v mod dims) flattened; key packs the per-axis quotients
+    (10/10/12 bits, biased) so aliased voxels a full torus period apart
+    get distinct keys.
+    """
+    dx, dy, dz = cfg.dim_x, cfg.dim_y, cfg.dim_z
+    mx, my, mz = v[..., 0] % dx, v[..., 1] % dy, v[..., 2] % dz
+    slot = (mx * dy + my) * dz + mz
+    qx = (v[..., 0] - mx) // dx + 512
+    qy = (v[..., 1] - my) // dy + 512
+    qz = (v[..., 2] - mz) // dz + 2048
+    key = (qx << 22) | (qy << 12) | qz
+    return slot, key
+
+
+def insert(vm: VoxelMap, pts, mask, cfg) -> VoxelMap:
+    """Masked scatter of world-frame points into the map.
+
+    Cells whose stored key differs from the incoming one (stale aliases
+    from a previous torus pass) are reset before accumulation —
+    the MapMove-equivalent eviction.  Within one batch all points hitting
+    a slot share a key (they would have to be a torus period apart to
+    differ, beyond lidar range), so the reset scatter is idempotent.
+    """
+    v = _voxel_coords(pts, cfg)
+    slot, key = _slot_and_key(v, cfg)
+    c = vm.count.shape[0]
+    maskf = mask.astype(jnp.float32)
+    # masked-out points scatter out of bounds and are dropped
+    slot = jnp.where(mask, slot, c)
+
+    stale = (vm.key.at[slot].get(mode="fill", fill_value=_EMPTY) != key) & mask
+    reset_slot = jnp.where(stale, slot, c)
+    # reset pass (idempotent): zero stats, then claim key
+    count = vm.count.at[reset_slot].set(0.0, mode="drop")
+    sum_rel = vm.sum_rel.at[reset_slot].set(0.0, mode="drop")
+    keys = vm.key.at[slot].set(key, mode="drop")
+
+    rel = pts - v.astype(pts.dtype) * cfg.voxel_size
+    sum_rel = sum_rel.at[slot].add(rel * maskf[:, None], mode="drop")
+    count = count.at[slot].add(maskf, mode="drop")
+    return VoxelMap(sum_rel=sum_rel, count=count, key=keys)
+
+
+def _stencil_offsets(cfg):
+    sx, sy, sz = cfg.stencil_x, cfg.stencil_y, cfg.stencil_z
+    ox, oy, oz = jnp.meshgrid(
+        jnp.arange(-sx, sx + 1), jnp.arange(-sy, sy + 1),
+        jnp.arange(-sz, sz + 1), indexing="ij")
+    return jnp.stack([ox.ravel(), oy.ravel(), oz.ravel()], axis=-1)  # (S,3)
+
+
+def query_knn(vm: VoxelMap, q, mask, cfg):
+    """k nearest map centroids for each query point.
+
+    q: (M, 3) world-frame queries, mask: (M,) validity.
+    Returns (neighbors (M,K,3), valid (M,K) bool, dist2 (M,K)) with
+    neighbors sorted by ascending distance; invalid entries have dist2=inf.
+    Replaces `nearestKSearch(5)` over the matched cube's KD-tree.
+    """
+    off = _stencil_offsets(cfg).astype(jnp.int32)          # (S,3)
+    v = _voxel_coords(q, cfg)                              # (M,3)
+    cells = v[:, None, :] + off[None, :, :]                # (M,S,3)
+    slot, key = _slot_and_key(cells, cfg)                  # (M,S)
+    cnt = vm.count[slot]                                   # (M,S)
+    ok = (vm.key[slot] == key) & (cnt > 0) & mask[:, None]
+    corner = cells.astype(q.dtype) * cfg.voxel_size
+    centroid = corner + vm.sum_rel[slot] / jnp.maximum(cnt, 1.0)[..., None]
+    d2 = jnp.sum((q[:, None, :] - centroid) ** 2, axis=-1)
+    d2 = jnp.where(ok, d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2, cfg.knn)                 # (M,K)
+    nbr = jnp.take_along_axis(centroid, idx[..., None], axis=1)
+    valid = jnp.take_along_axis(ok, idx, axis=1)
+    return nbr, valid, -neg
+
+
+def cell_centroids(vm: VoxelMap, cfg):
+    """All valid cell centroids — for map export / visualization.
+
+    Returns (C,3) centroids and a (C,) validity mask; the voxel corner is
+    reconstructed from the slot index and the packed quotient key.
+    """
+    dx, dy, dz = cfg.dim_x, cfg.dim_y, cfg.dim_z
+    c = dx * dy * dz
+    idx = jnp.arange(c, dtype=jnp.int32)
+    mz = idx % dz
+    my = (idx // dz) % dy
+    mx = idx // (dz * dy)
+    qz = (vm.key & 0xFFF) - 2048
+    qy = ((vm.key >> 12) & 0x3FF) - 512
+    qx = (vm.key >> 22) - 512
+    v = jnp.stack([qx * dx + mx, qy * dy + my, qz * dz + mz], axis=-1)
+    valid = (vm.key != _EMPTY) & (vm.count > 0)
+    centroid = (v.astype(jnp.float32) * cfg.voxel_size
+                + vm.sum_rel / jnp.maximum(vm.count, 1.0)[:, None])
+    return centroid, valid
