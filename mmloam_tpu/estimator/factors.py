@@ -1,0 +1,247 @@
+"""Factor construction and residual evaluation for the sliding-window solver.
+
+Re-implements the semantics of the reference's Ceres cost functions and
+association routines as fixed-shape masked tensor ops:
+
+  * line factors    — Estimator::processPointToLine (Estimator.cpp:148-363)
+                      + Cost_NavState_IMU_Line (ceresfunc.h:397-458)
+  * plane factors   — Estimator::processPointToPlanVec (Estimator.cpp:573-790)
+                      + Cost_NavState_IMU_Plan_Vec (ceresfunc.h:517-570)
+  * IMU factor      — Cost_NavState_PRV_Bias (ceresfunc.h:321-393)
+  * localizability  — Estimator::checkLocalizability (Estimator.cpp:536-565)
+
+Scaling convention: all residuals are expressed in units of the lidar noise
+sigma `lidar_m` (the reference multiplies point residuals by
+1/lidar_m ~ 667 and IMU residuals by chol(cov^-1)^T; we divide the whole
+cost by 1/lidar_m^2, which leaves the optimum unchanged and keeps every
+number O(1)-O(100) so the f32 normal equations stay well conditioned on
+TPU).  The Huber delta 0.1/lidar_m (Estimator.cpp:1216) becomes 0.1.
+
+State layout per frame (15,): [P(0:3), phi=log R (3:6), V(6:9), bg(9:12),
+ba(12:15)] — matching para_PR/para_VBias (Estimator.h:284-285).  Like the
+reference (no LocalParameterization on para_PR), phi is optimized as a
+plain global 3-vector, so parameter updates are ordinary addition.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import lie
+from ..ops import voxelmap
+
+
+class LineTargets(NamedTuple):
+    """Cached corner-factor data (reference FeatureLine, Estimator.h:59-85)."""
+
+    p_l: jnp.ndarray      # (K,3) point in lidar frame
+    c: jnp.ndarray        # (K,3) line centroid (world)
+    u: jnp.ndarray        # (K,3) unit line direction (world)
+    valid: jnp.ndarray    # (K,) bool
+
+
+class PlaneTargets(NamedTuple):
+    """Cached surf-factor data (reference FeaturePlanVec, Estimator.h:107-124)."""
+
+    p_l: jnp.ndarray        # (K,3)
+    proj: jnp.ndarray       # (K,3) projection of the point onto the plane (world)
+    sqrt_info: jnp.ndarray  # (K,3,3) scaled information sqrt (unit: lidar_m)
+    valid: jnp.ndarray      # (K,) bool
+
+
+def pose_wl(x6, Rbl, tbl):
+    """World-from-lidar transform for state x6 (world-from-body P, phi)."""
+    Rwb = lie.exp_matrix(x6[3:6])
+    Rwl = Rwb @ Rbl
+    twl = Rwb @ tbl + x6[0:3]
+    return Rwl, twl
+
+
+def _world_points(x6, p_l, Rbl, tbl):
+    Rwl, twl = pose_wl(x6, Rbl, tbl)
+    return p_l @ Rwl.T + twl
+
+
+# --------------------------------------------------------------------------
+# association (builds fixed targets at the current pose, once per scan)
+# --------------------------------------------------------------------------
+
+def associate_lines(x6, p_l, mask, vm, Rbl, tbl, cfg) -> LineTargets:
+    """Corner association: 5-NN -> PCA line fit -> eigenvalue gate.
+
+    Mirrors Estimator.cpp:189-277: 5th-NN sq-distance < thres_dist, largest
+    eigenvalue > 3x middle, line = centroid +- direction.
+    """
+    pw = _world_points(x6, p_l, Rbl, tbl)
+    nbr, nvalid, d2 = voxelmap.query_knn(vm, pw, mask, cfg.map)
+    k = cfg.map.knn
+    have5 = nvalid[:, k - 1] & (d2[:, k - 1] < cfg.solver.thres_dist)
+
+    c = jnp.mean(nbr, axis=1)
+    dev = nbr - c[:, None, :]
+    cov = jnp.einsum("kij,kil->kjl", dev, dev) / k
+    evals, evecs = jnp.linalg.eigh(cov)          # ascending
+    u = evecs[..., 2]                            # principal direction
+    line_like = evals[:, 2] > 3.0 * evals[:, 1]
+
+    # reference gate: association-time geometric error must be > 1e-5
+    # (Estimator.cpp:1311-1317 via FeatureLine::ComputeError)
+    err0 = jnp.linalg.norm(jnp.cross(pw - c, u), axis=-1)
+    valid = mask & have5 & line_like & (err0 > 1e-5)
+    return LineTargets(p_l=p_l, c=c, u=u, valid=valid)
+
+
+def _plane_basis(omega):
+    """Orthonormal basis with first row = omega (rows: normal, 2 tangents).
+
+    Equivalent to the reference's R_svd^T from the SVD of e1*omega^T
+    (Estimator.cpp:678-684) up to tangent-frame rotation and signs, which
+    the isotropic tangent weights make irrelevant.
+    """
+    # pick the axis least aligned with omega as seed
+    ax = jnp.abs(omega)
+    seed = jnp.where((ax[0] <= ax[1]) & (ax[0] <= ax[2]),
+                     jnp.array([1.0, 0.0, 0.0], omega.dtype),
+                     jnp.where(ax[1] <= ax[2],
+                               jnp.array([0.0, 1.0, 0.0], omega.dtype),
+                               jnp.array([0.0, 0.0, 1.0], omega.dtype)))
+    t1 = jnp.cross(omega, seed)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-9)
+    t2 = jnp.cross(omega, t1)
+    return jnp.stack([omega, t1, t2], axis=0)   # (3,3), rows
+
+
+def associate_planes(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
+                     weight_tan):
+    """Surf association: 5-NN -> LS plane fit -> flatness gate.
+
+    Mirrors Estimator.cpp:617-696: plane ax+by+cz+1=0 fitted to the 5
+    neighbors, rejected unless all are within 0.2 m; residual target is the
+    projected point; the 3x3 sqrt-information weights the normal direction
+    with 1 and the tangents with `plan_weight_tan` (units of lidar_m here).
+    Returns (PlaneTargets, normals (K,3), normal_valid (K,)).
+    """
+    pw = _world_points(x6, p_l, Rbl, tbl)
+    nbr, nvalid, d2 = voxelmap.query_knn(vm, pw, mask, cfg.map)
+    k = cfg.map.knn
+    have5 = nvalid[:, k - 1] & (d2[:, k - 1] < thres_dist)
+
+    # solve A x = -1 via 3x3 normal equations (A is kx3 of neighbors)
+    AtA = jnp.einsum("kij,kil->kjl", nbr, nbr)
+    Atb = -jnp.sum(nbr, axis=1)
+    x = jnp.linalg.solve(AtA + 1e-8 * jnp.eye(3, dtype=pw.dtype), Atb[..., None])[..., 0]
+    ps = jnp.maximum(jnp.linalg.norm(x, axis=-1), 1e-9)
+    omega = x / ps[:, None]                       # unit normal
+    pd = 1.0 / ps                                 # plane offset (normalized d)
+
+    plane_fit = jnp.abs(jnp.einsum("kij,kj->ki", nbr, omega) + pd[:, None])
+    planar = jnp.all(plane_fit <= 0.2, axis=-1)
+
+    dist = jnp.einsum("kj,kj->k", pw, omega) + pd
+    proj = pw - dist[:, None] * omega
+
+    basis = jax.vmap(_plane_basis)(omega)         # (K,3,3)
+    w = jnp.array([1.0, weight_tan, weight_tan], pw.dtype)
+    sqrt_info = w[None, :, None] * basis
+
+    err0 = jnp.abs(dist)
+    valid = mask & have5 & planar & (err0 > 1e-5)
+    return (PlaneTargets(p_l=p_l, proj=proj, sqrt_info=sqrt_info, valid=valid),
+            omega, valid)
+
+
+def localizability(normals, valid, cfg):
+    """Min singular value of the stacked plane normals + failure gates.
+
+    Mirrors checkLocalizability (Estimator.cpp:536-565): sv_min of the Nx3
+    normal matrix; < degenerate threshold (3.0) => degenerate; < 2.0 or
+    fewer than min_plane_normals (10) normals => failure.
+    Returns (is_degenerate, fail_detected, sv_min).
+    """
+    m = valid.astype(normals.dtype)
+    NtN = jnp.einsum("ki,kj->ij", normals * m[:, None], normals * m[:, None])
+    evals = jnp.linalg.eigvalsh(NtN)
+    sv_min = jnp.sqrt(jnp.maximum(evals[0], 0.0))
+    n = jnp.sum(valid)
+    too_few = n <= cfg.solver.min_plane_normals
+    degenerate = (sv_min < 3.0) | too_few
+    fail = (sv_min < cfg.solver.degenerate_sv) | too_few
+    return degenerate, fail, jnp.where(too_few, -1.0, sv_min)
+
+
+# --------------------------------------------------------------------------
+# residuals (evaluated every solver iteration at the live state)
+# --------------------------------------------------------------------------
+
+def line_residual(x6, tgt: LineTargets, Rbl, tbl):
+    """Point-to-line residuals (K,) in lidar_m units.
+
+    Cost_NavState_IMU_Line (ceresfunc.h:415-441): distance to the line,
+    reweighted by 1 - 0.9|d|/sqrt(|P|).
+    """
+    pw = _world_points(x6, tgt.p_l, Rbl, tbl)
+    d = jnp.linalg.norm(jnp.cross(pw - tgt.c, tgt.u), axis=-1)
+    pn = jnp.maximum(jnp.linalg.norm(pw, axis=-1), 1e-6)
+    w = 1.0 - 0.9 * jnp.abs(d) / jnp.sqrt(jnp.sqrt(pn))
+    return jnp.where(tgt.valid, w * d, 0.0)
+
+
+def plane_residual(x6, tgt: PlaneTargets, Rbl, tbl):
+    """Projected-point plane residuals (K,3) in lidar_m units.
+
+    Cost_NavState_IMU_Plan_Vec (ceresfunc.h:536-556).
+    """
+    pw = _world_points(x6, tgt.p_l, Rbl, tbl)
+    r0 = pw - tgt.proj
+    pn = jnp.maximum(jnp.linalg.norm(pw, axis=-1), 1e-6)
+    w = 1.0 - 0.9 * jnp.linalg.norm(r0, axis=-1) / jnp.sqrt(jnp.sqrt(pn))
+    r = jnp.einsum("kij,kj->ki", tgt.sqrt_info, w[:, None] * r0)
+    return jnp.where(tgt.valid[:, None], r, 0.0)
+
+
+def imu_residual(xi, xj, meas, gravity):
+    """15-dim preintegration residual (Cost_NavState_PRV_Bias,
+    ceresfunc.h:330-375), already left-multiplied by the scaled sqrt-info.
+
+    `meas` is a dict with dq/dp/dv (preintegrated deltas), jac (15,15 bias
+    Jacobian), sqrt_info (15,15 scaled), dt, bg/ba (linearization biases).
+    """
+    Pi, phii, Vi = xi[0:3], xi[3:6], xi[6:9]
+    Pj, phij, Vj = xj[0:3], xj[3:6], xj[6:9]
+    dbg = xi[9:12] - meas["bg"]
+    dba = xi[12:15] - meas["ba"]
+
+    Ri = lie.exp_matrix(phii)
+    Rj = lie.exp_matrix(phij)
+    dt = meas["dt"]
+    dt2 = dt * dt
+    jac = meas["jac"]
+    J_p_bg, J_p_ba = jac[0:3, 9:12], jac[0:3, 12:15]
+    J_r_bg = jac[3:6, 9:12]
+    J_v_bg, J_v_ba = jac[6:9, 9:12], jac[6:9, 12:15]
+
+    RiT = Ri.T
+    rP = RiT @ (Pj - Pi - Vi * dt - 0.5 * gravity * dt2) - (
+        meas["dp"] + J_p_bg @ dbg + J_p_ba @ dba)
+    dR_corr = lie.quat_mul(meas["dq"], lie.exp_quat(J_r_bg @ dbg))
+    rel = lie.quat_to_matrix(lie.quat_conj(dR_corr)) @ RiT @ Rj
+    rPhi = lie.log_matrix(rel)
+    rV = RiT @ (Vj - Vi - gravity * dt) - (
+        meas["dv"] + J_v_bg @ dbg + J_v_ba @ dba)
+    r = jnp.concatenate([rP, rPhi, rV, xj[9:15] - xi[9:15]])
+    return meas["sqrt_info"] @ r
+
+
+def prior_residual(x0_kept, prior):
+    """Marginalization prior replay (MarginalizationFactor::Evaluate,
+    ceresfunc.h:280-314): r = lin_r + lin_J (x - x_lin)."""
+    return prior.lin_r + prior.lin_J @ (x0_kept - prior.x0)
+
+
+def huber_weight(r_block_sq, delta):
+    """sqrt(rho'(s)) for Ceres HuberLoss(delta) applied per residual block."""
+    s = jnp.maximum(r_block_sq, 1e-20)
+    return jnp.where(s <= delta * delta, 1.0, jnp.sqrt(delta / jnp.sqrt(s)))

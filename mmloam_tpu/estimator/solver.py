@@ -1,0 +1,269 @@
+"""Dense sliding-window Levenberg-Marquardt solver + Schur marginalization.
+
+Replaces Ceres (DENSE_SCHUR + DOGLEG, Estimator.cpp:1425-1432) and the
+pthread-assembled marginalization (ceresfunc.h:149-225, ceresfunc.cpp:3-30)
+with one on-device dense solve over the whole window state
+(W x 15 = 75 dims): batched residual/Jacobian evaluation feeds MXU matmuls
+for the normal equations, and the Schur complement is a single 30x30
+eigen-factorization.
+
+The window state is an (W, 15) array; frames are ordered oldest (0) to
+newest (W-1), with the leading `W - n_frames` rows invalid during warmup
+(masked out of every factor).  The marginalization prior always binds the
+oldest valid frame's 15-dim block, exactly like the reference's
+(para_PR[0], para_VBias[0]) prior after the address shift
+(Estimator.cpp:1556-1563).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import factors
+
+
+class Prior(NamedTuple):
+    """Marginalization prior (reference MarginalizationInfo kept-block data)."""
+
+    lin_J: jnp.ndarray   # (15,15)
+    lin_r: jnp.ndarray   # (15,)
+    x0: jnp.ndarray      # (15,) linearization point (oldest kept frame)
+    valid: jnp.ndarray   # () bool
+
+
+def empty_prior(dtype=jnp.float32) -> Prior:
+    return Prior(lin_J=jnp.zeros((15, 15), dtype), lin_r=jnp.zeros((15,), dtype),
+                 x0=jnp.zeros((15,), dtype), valid=jnp.asarray(False))
+
+
+def _point_blocks(x, ltgts, ptgts, Rbl, tbl, huber_delta):
+    """Per-frame 6x6 normal-equation blocks from line+plane factors.
+
+    x: (W,15).  Returns H6 (W,6,6), b6 (W,6), cost ().
+    """
+    def one_frame(x15, lt, pt):
+        x6 = x15[:6]
+        rl = factors.line_residual(x6, lt, Rbl, tbl)               # (Kc,)
+        Jl = jax.jacfwd(lambda z: factors.line_residual(z, lt, Rbl, tbl))(x6)
+        rp = factors.plane_residual(x6, pt, Rbl, tbl)              # (Ks,3)
+        Jp = jax.jacfwd(lambda z: factors.plane_residual(z, pt, Rbl, tbl))(x6)
+
+        sl = rl * rl                                                # block sq-norms
+        sp = jnp.sum(rp * rp, axis=-1)
+        if huber_delta is None:
+            wl = jnp.ones_like(sl)
+            wp = jnp.ones_like(sp)
+            cost = 0.5 * (jnp.sum(sl) + jnp.sum(sp))
+        else:
+            wl = factors.huber_weight(sl, huber_delta)
+            wp = factors.huber_weight(sp, huber_delta)
+            def rho(s):
+                d = huber_delta
+                return jnp.where(s <= d * d, s, 2.0 * d * jnp.sqrt(s) - d * d)
+            cost = 0.5 * (jnp.sum(jnp.where(lt.valid, rho(sl), 0.0)) +
+                          jnp.sum(jnp.where(pt.valid, rho(sp), 0.0)))
+        rl_w = rl * wl
+        Jl_w = Jl * wl[:, None]
+        rp_w = rp * wp[:, None]
+        Jp_w = Jp * wp[:, None, None]
+
+        H6 = (jnp.einsum("ki,kj->ij", Jl_w, Jl_w)
+              + jnp.einsum("kdi,kdj->ij", Jp_w, Jp_w))
+        b6 = (Jl_w.T @ rl_w + jnp.einsum("kdi,kd->i", Jp_w, rp_w))
+        return H6, b6, cost
+
+    H6, b6, cost = jax.vmap(one_frame)(x, ltgts, ptgts)
+    return H6, b6, jnp.sum(cost)
+
+
+def _imu_blocks(x, preint, pair_valid, gravity):
+    """Per-pair 30x30 blocks for the IMU factors (pair j binds frames j-1,j).
+
+    preint: dict of arrays with leading axis W (entry j = preintegration
+    from frame j-1 to frame j; entry 0 unused).  Returns H30 (W,30,30),
+    b30 (W,30), cost ().
+    """
+    W = x.shape[0]
+    xi = jnp.concatenate([jnp.roll(x, 1, axis=0), x], axis=-1)     # (W,30)
+
+    def one_pair(z, meas, ok):
+        r = factors.imu_residual(z[:15], z[15:], meas, gravity)
+        J = jax.jacfwd(lambda zz: factors.imu_residual(zz[:15], zz[15:], meas,
+                                                       gravity))(z)
+        m = ok.astype(z.dtype)
+        r = r * m
+        J = J * m
+        return J.T @ J, J.T @ r, 0.5 * jnp.sum(r * r)
+
+    meas = {k: v for k, v in preint.items()}
+    H30, b30, cost = jax.vmap(one_pair)(xi, meas, pair_valid)
+    return H30, b30, jnp.sum(cost)
+
+
+def _prior_block(x, prior: Prior):
+    r = factors.prior_residual(x[0], prior)
+    m = prior.valid.astype(x.dtype)
+    r = r * m
+    J = prior.lin_J * m
+    return J.T @ J, J.T @ r, 0.5 * jnp.sum(r * r)
+
+
+def _assemble(x, H6, b6, H30, b30, Hp, bp, frame_valid):
+    """Dense (W*15, W*15) H and (W*15,) b with invalid frames zeroed."""
+    W = x.shape[0]
+    n = W * 15
+    H = jnp.zeros((n, n), x.dtype)
+    b = jnp.zeros((n,), x.dtype)
+    for f in range(W):
+        H = H.at[f * 15:f * 15 + 6, f * 15:f * 15 + 6].add(H6[f])
+        b = b.at[f * 15:f * 15 + 6].add(b6[f])
+    for f in range(1, W):
+        H = H.at[(f - 1) * 15:(f + 1) * 15, (f - 1) * 15:(f + 1) * 15].add(H30[f])
+        b = b.at[(f - 1) * 15:(f + 1) * 15].add(b30[f])
+    H = H.at[0:15, 0:15].add(Hp)
+    b = b.at[0:15].add(bp)
+    fm = jnp.repeat(frame_valid.astype(x.dtype), 15)
+    H = H * fm[:, None] * fm[None, :]
+    b = b * fm
+    return H, b
+
+
+def _damped_solve(H, b, lam):
+    """Solve (H + lam*diag(H)) dx = -b with Jacobi scaling, f32-safe."""
+    d = jnp.diagonal(H)
+    s = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-10))
+    Hs = H * s[:, None] * s[None, :]
+    n = H.shape[0]
+    A = Hs + lam * jnp.eye(n, dtype=H.dtype)
+    # extra tiny ridge for unconstrained dims (zero rows scale to zero)
+    A = A + 1e-8 * jnp.eye(n, dtype=H.dtype)
+    L = jnp.linalg.cholesky(A)
+    y = jax.scipy.linalg.cho_solve((L, True), -(s * b))
+    return s * y
+
+
+class SolveResult(NamedTuple):
+    x: jnp.ndarray          # (W,15) optimized state
+    cost: jnp.ndarray       # final cost
+    iters: jnp.ndarray      # LM iterations executed
+    converged: jnp.ndarray  # bool
+
+
+def lm_solve(x0, ltgts, ptgts, preint, pair_valid, prior, frame_valid,
+             gravity, Rbl, tbl, cfg, max_iters: int, huber_delta=None):
+    """Levenberg-Marquardt over the window with fixed associations.
+
+    Matches the reference's inner Ceres solve (up to `max_iters` dogleg
+    steps, Estimator.cpp:1428).  Associations (ltgts/ptgts) stay fixed,
+    exactly like the cached vLineFeatures/vPlanFeatures (:1304-1374).
+    """
+    W = x0.shape[0]
+
+    def cost_at(x):
+        _, _, cp = _point_blocks(x, ltgts, ptgts, Rbl, tbl, huber_delta)
+        # cost of IMU/prior (no robust loss in the reference for these)
+        _, _, ci = _imu_blocks(x, preint, pair_valid, gravity)
+        _, _, cpr = _prior_block(x, prior)
+        return cp + ci + cpr
+
+    def body(carry):
+        x, lam, cost, it, done = carry
+        H6, b6, _ = _point_blocks(x, ltgts, ptgts, Rbl, tbl, huber_delta)
+        H30, b30, _ = _imu_blocks(x, preint, pair_valid, gravity)
+        Hp, bp, _ = _prior_block(x, prior)
+        H, b = _assemble(x, H6, b6, H30, b30, Hp, bp, frame_valid)
+        dx = _damped_solve(H, b, lam)
+        x_new = x + dx.reshape(W, 15) * frame_valid[:, None].astype(x.dtype)
+        new_cost = cost_at(x_new)
+        accept = new_cost < cost
+        x = jnp.where(accept, x_new, x)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), lam * 4.0)
+        # convergence (Ceres-like): accepted step barely moved any pose.
+        # (The looser 0.05 m / 0.05 deg gates from Estimator.cpp:1448 belong
+        # to the *outer* re-associate loop, handled by the pipeline.)
+        dxf = dx.reshape(W, 15)
+        dt_max = jnp.max(jnp.linalg.norm(dxf[:, 0:3], axis=-1)
+                         * frame_valid.astype(x.dtype))
+        dr_max = jnp.max(jnp.linalg.norm(dxf[:, 3:6], axis=-1)
+                         * frame_valid.astype(x.dtype))
+        conv = accept & (dt_max < 1e-4) & (dr_max < 1e-5)
+        return x, lam, cost, it + 1, done | conv
+
+    def cond(carry):
+        _, _, _, it, done = carry
+        return (it < max_iters) & ~done
+
+    init_cost = cost_at(x0)
+    x, lam, cost, it, done = jax.lax.while_loop(
+        cond, body, (x0, jnp.asarray(1e-4, x0.dtype), init_cost,
+                     jnp.int32(0), jnp.asarray(False)))
+    return SolveResult(x=x, cost=cost, iters=it, converged=done)
+
+
+def marginalize(x, ltgts0, ptgts0, preint, prior, gravity, Rbl, tbl, cfg):
+    """Schur-complement marginalization of frame 0 -> new 15-dim prior.
+
+    Mirrors Estimator.cpp:1448-1567 + MarginalizationInfo::marginalize
+    (ceresfunc.h:149-225): factors touching frame 0 are the old prior, the
+    IMU factor (0,1) and frame 0's cached point factors; the dropped block
+    is frame 0's 15 dims, the kept block is frame 1's.
+
+    Deviation: the reference thresholds eigenvalues at an absolute 1e-8 in
+    f64; here the threshold is relative (1e-6 * max eigenvalue), which is
+    the f32-meaningful equivalent.
+    """
+    dtype = x.dtype
+    A = jnp.zeros((30, 30), dtype)
+    b = jnp.zeros((30,), dtype)
+
+    # old prior on frame 0
+    Hp, bp, _ = _prior_block(x, prior)
+    A = A.at[0:15, 0:15].add(Hp)
+    b = b.at[0:15].add(bp)
+
+    # IMU factor between frames 0 and 1 (no loss, ceresfunc.h nullptr)
+    z = jnp.concatenate([x[0], x[1]])
+    meas = {k: v[1] for k, v in preint.items()}
+    rI = factors.imu_residual(z[:15], z[15:], meas, gravity)
+    JI = jax.jacfwd(lambda zz: factors.imu_residual(zz[:15], zz[15:], meas,
+                                                    gravity))(z)
+    A = A + JI.T @ JI
+    b = b + JI.T @ rI
+
+    # frame 0 point factors (cached targets, current pose, no loss —
+    # matching the marginalization adds at Estimator.cpp:1521-1549)
+    x6 = x[0, :6]
+    lt = jax.tree.map(lambda a: a[0], ltgts0)
+    pt = jax.tree.map(lambda a: a[0], ptgts0)
+    rl = factors.line_residual(x6, lt, Rbl, tbl)
+    Jl = jax.jacfwd(lambda zz: factors.line_residual(zz, lt, Rbl, tbl))(x6)
+    rp = factors.plane_residual(x6, pt, Rbl, tbl)
+    Jp = jax.jacfwd(lambda zz: factors.plane_residual(zz, pt, Rbl, tbl))(x6)
+    H6 = jnp.einsum("ki,kj->ij", Jl, Jl) + jnp.einsum("kdi,kdj->ij", Jp, Jp)
+    b6 = Jl.T @ rl + jnp.einsum("kdi,kd->i", Jp, rp)
+    A = A.at[0:6, 0:6].add(H6)
+    b = b.at[0:6].add(b6)
+
+    # Schur complement: drop rows/cols 0:15
+    Amm = 0.5 * (A[0:15, 0:15] + A[0:15, 0:15].T)
+    evals, evecs = jnp.linalg.eigh(Amm)
+    eps = 1e-6 * jnp.maximum(jnp.max(evals), 1e-12)
+    inv = jnp.where(evals > eps, 1.0 / jnp.maximum(evals, eps), 0.0)
+    Amm_inv = (evecs * inv[None, :]) @ evecs.T
+    Arm = A[15:30, 0:15]
+    A_star = A[15:30, 15:30] - Arm @ Amm_inv @ A[0:15, 15:30]
+    b_star = b[15:30] - Arm @ Amm_inv @ b[0:15]
+
+    evals2, evecs2 = jnp.linalg.eigh(0.5 * (A_star + A_star.T))
+    eps2 = 1e-6 * jnp.maximum(jnp.max(evals2), 1e-12)
+    keep = evals2 > eps2
+    S_sqrt = jnp.where(keep, jnp.sqrt(jnp.maximum(evals2, 0.0)), 0.0)
+    S_inv_sqrt = jnp.where(keep, 1.0 / jnp.maximum(S_sqrt, 1e-20), 0.0)
+    lin_J = S_sqrt[:, None] * evecs2.T
+    lin_r = S_inv_sqrt * (evecs2.T @ b_star)
+    return Prior(lin_J=lin_J, lin_r=lin_r, x0=x[1], valid=jnp.asarray(True))

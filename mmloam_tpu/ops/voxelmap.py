@@ -91,6 +91,7 @@ def insert(vm: VoxelMap, pts, mask, cfg) -> VoxelMap:
     a slot share a key (they would have to be a torus period apart to
     differ, beyond lidar range), so the reset scatter is idempotent.
     """
+    pts = pts.astype(vm.sum_rel.dtype)
     v = _voxel_coords(pts, cfg)
     slot, key = _slot_and_key(v, cfg)
     c = vm.count.shape[0]
