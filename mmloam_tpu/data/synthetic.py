@@ -144,15 +144,19 @@ class Trajectory:
 
 def simulate_imu(traj: Trajectory, t0, t1, rate=200.0, gnorm=9.805,
                  bg=(0, 0, 0), ba=(0, 0, 0), noise_gyr=0.0, noise_acc=0.0,
-                 rng=None):
+                 rng=None, g_vec=None):
     """IMU samples on (t0, t1]: returns (acc_g (M,3) in g units, gyr (M,3),
     ts (M,)).  acc follows the Livox convention the engine expects
     (specific force in g units, IMUIntegrator.cpp:119-121 scales by gnorm).
+    `g_vec` overrides the gravity vector expressed in the trajectory frame
+    (default straight down) — use it to simulate a rig whose odometry frame
+    is tilted with respect to gravity.
     """
     ts = np.arange(np.ceil(t0 * rate + 1e-9), np.floor(t1 * rate + 1e-9) + 1) / rate
     R = traj.rot(ts)                                   # (M,3,3) world-from-body
     a_w = traj.acc(ts)                                 # world linear acceleration
-    g_w = np.array([0.0, 0.0, -gnorm])
+    g_w = (np.asarray(g_vec, np.float64) if g_vec is not None
+           else np.array([0.0, 0.0, -gnorm]))
     f_body = np.einsum("mij,mj->mi", R.transpose(0, 2, 1), a_w - g_w)
     gyr = traj.gyro_body(ts) + np.asarray(bg)
     acc = f_body / gnorm + np.asarray(ba) / gnorm

@@ -61,41 +61,13 @@ def exp_quat(phi):
 
 
 def log_matrix(R):
-    """SO3 logarithm: rotation matrix -> rotation vector."""
-    # trace-based angle; axis from the skew part, with Taylor near 0.
-    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    w = jnp.stack([
-        R[..., 2, 1] - R[..., 1, 2],
-        R[..., 0, 2] - R[..., 2, 0],
-        R[..., 1, 0] - R[..., 0, 1],
-    ], axis=-1)
-    sin_t = jnp.sin(theta)
-    small = theta < 1e-5
-    # w = 2 sin(theta) * axis  =>  phi = theta/(2 sin theta) * w
-    scale = jnp.where(small, 0.5 + theta**2 / 12.0,
-                      theta / jnp.maximum(2.0 * sin_t, _EPS))
-    phi = w * scale[..., None]
-    # near theta = pi the skew part vanishes; use diagonal-based recovery
-    near_pi = theta > 3.0
-    B = (R + jnp.swapaxes(R, -1, -2)) * 0.5  # symmetric part
-    d = jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1)
-    axis_sq = jnp.clip((d - cos_t[..., None]) / jnp.maximum(1.0 - cos_t[..., None], _EPS), 0.0, 1.0)
-    axis_abs = jnp.sqrt(axis_sq)
-    # fix signs using off-diagonals relative to the largest component
-    sgn_ref = jnp.sign(w + 1e-30)  # fallback sign if skew not fully zero
-    xy = B[..., 0, 1]
-    xz = B[..., 0, 2]
-    yz = B[..., 1, 2]
-    amax = jnp.argmax(axis_abs, axis=-1)
-    sx = jnp.where(amax == 0, 1.0, jnp.where(amax == 1, jnp.sign(xy + 1e-30), jnp.sign(xz + 1e-30)))
-    sy = jnp.where(amax == 1, 1.0, jnp.where(amax == 0, jnp.sign(xy + 1e-30), jnp.sign(yz + 1e-30)))
-    sz = jnp.where(amax == 2, 1.0, jnp.where(amax == 0, jnp.sign(xz + 1e-30), jnp.sign(yz + 1e-30)))
-    sgn = jnp.stack([sx, sy, sz], axis=-1)
-    sgn = jnp.where(jnp.abs(w) > 1e-6, sgn_ref, sgn)
-    phi_pi = axis_abs * sgn * theta[..., None]
-    return jnp.where(near_pi[..., None], phi_pi, phi)
+    """SO3 logarithm: rotation matrix -> rotation vector.
+
+    Routed through the quaternion (Shepperd extraction + arctan2 log) so
+    it is autodiff-safe at the identity (no arccos whose derivative blows
+    up at trace=3) and numerically robust near theta = pi.
+    """
+    return log_quat(matrix_to_quat(R))
 
 
 def log_quat(q):
