@@ -1,0 +1,72 @@
+"""Benchmark: batched multi-sequence LIO replay throughput on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The BASELINE.json target is >= 200 scans/sec/chip (batched replay); the
+C++ reference processes one bag in real time at ~10 scans/sec/core with
+no published numbers (BASELINE.md), so vs_baseline is measured against
+the 200 scans/sec/chip target.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+BASELINE_SCANS_PER_SEC = 200.0
+
+
+def main(batch=4, n_scans=30, warmup=5):
+    from mmloam_tpu import pipeline, replay
+    from mmloam_tpu.config import tiny_config
+    from mmloam_tpu.data import synthetic
+
+    cfg = tiny_config()
+    world = synthetic.default_world()
+
+    seqs = []
+    for b in range(batch):
+        traj = synthetic.Trajectory(speed=0.6 + 0.15 * b, z_amp=0.1,
+                                    yaw_rate=0.2 + 0.05 * b)
+        scans, _, _ = replay.make_sequence(world, traj, 0.0, n_scans, cfg,
+                                           n_az=720, seed=b,
+                                           dtype=np.float32)
+        seqs.append(scans)
+    batch_scans = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *seqs)
+    # shape now (n_scans, batch, ...)
+
+    state0 = pipeline.init_state(cfg)
+    batch_state = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (batch,) + a.shape).copy(), state0)
+
+    @jax.jit
+    def run(bs, scans):
+        def one(bs, sc):
+            return jax.vmap(lambda s, x: pipeline.step(s, x, cfg))(bs, sc)
+        return jax.lax.scan(one, bs, scans)
+
+    # warmup/compile
+    wu = jax.tree.map(lambda a: a[:warmup], batch_scans)
+    st, _ = run(batch_state, wu)
+    jax.block_until_ready(st)
+
+    t0 = time.perf_counter()
+    st, outs = run(batch_state, batch_scans)
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+
+    scans_per_sec = batch * n_scans / dt
+    print(json.dumps({
+        "metric": "batched_replay_throughput",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/sec/chip",
+        "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

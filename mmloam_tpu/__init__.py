@@ -27,3 +27,11 @@ sequences on one chip and `shard_map` over a `jax.sharding.Mesh` across chips.
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# The default TPU matmul precision multiplies f32 operands through bf16
+# passes, which measurably degrades trajectory accuracy (2.6x worse ATE on
+# the synthetic hall benchmark).  The engine's matmuls are tiny (normal
+# equations, 3x3/15x15 blocks), so full f32 precision costs nothing here.
+_jax.config.update("jax_default_matmul_precision", "highest")

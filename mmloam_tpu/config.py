@@ -81,9 +81,13 @@ class MapConfig:
     dim_y: int = 256
     dim_z: int = 64
     count_cap: float = 100.0         # running-mean inertia cap
-    # stencil half-extent per axis for k-NN gather (1 -> 3x3x3 = 27 cells)
-    stencil_x: int = 1
-    stencil_y: int = 1
+    # stencil half-extent per axis for the k-NN gather.  The reference's
+    # kd-tree nearestKSearch is range-unbounded (gated afterwards at
+    # thres_dist, up to 5 m pre-init); a (2,2,1) stencil reaches ~0.9-1.8 m
+    # at the 0.4 m leaf, which bootstraps association on a one-scan-old
+    # sparse map where a 27-cell stencil starves (<5 neighbors).
+    stencil_x: int = 2
+    stencil_y: int = 2
     stencil_z: int = 1
     knn: int = 5                     # neighbors per query (reference: 5-NN)
 
@@ -147,7 +151,7 @@ def tiny_config() -> LIOConfig:
     """Small shapes for unit tests / CPU dry-runs."""
     return LIOConfig(
         scan=ScanConfig(n_lines=4, max_pts_per_line=256,
-                        max_corner=128, max_surf=256, max_nonfeature=64),
+                        max_corner=256, max_surf=1024, max_nonfeature=64),
         map=MapConfig(dim_x=64, dim_y=64, dim_z=32),
         imu=ImuConfig(max_samples=32),
     )

@@ -37,9 +37,9 @@ class BoxWorld:
                         for a, b in pillars]
 
     def raycast(self, origin, dirs, max_range=80.0):
-        """origin (3,), dirs (N,3) unit.  Returns ranges (N,) (inf = miss)."""
-        o = np.asarray(origin, np.float64)
+        """origin (3,) or (N,3), dirs (N,3) unit.  Ranges (N,), inf = miss."""
         d = np.asarray(dirs, np.float64)
+        o = np.broadcast_to(np.asarray(origin, np.float64), d.shape)
         eps = 1e-12
         inv = 1.0 / np.where(np.abs(d) < eps, eps, d)
 
@@ -47,10 +47,10 @@ class BoxWorld:
         t_wall = np.full(d.shape[0], np.inf)
         for axis in range(3):
             for bound in (self.room_min[axis], self.room_max[axis]):
-                t = (bound - o[axis]) * inv[:, axis]
+                t = (bound - o[:, axis]) * inv[:, axis]
                 ok = t > 1e-6
                 # hit point must lie within the face rectangle
-                p = o[None, :] + t[:, None] * d
+                p = o + t[:, None] * d
                 in_face = np.ones(d.shape[0], bool)
                 for ax2 in range(3):
                     if ax2 == axis:
@@ -62,8 +62,8 @@ class BoxWorld:
         # pillar entry distances (slab method)
         t_hit = t_wall
         for pmin, pmax in self.pillars:
-            t1 = (pmin[None, :] - o[None, :]) * inv
-            t2 = (pmax[None, :] - o[None, :]) * inv
+            t1 = (pmin[None, :] - o) * inv
+            t2 = (pmax[None, :] - o) * inv
             tmin = np.minimum(t1, t2).max(axis=1)
             tmax = np.maximum(t1, t2).min(axis=1)
             hit = (tmax > tmin) & (tmax > 1e-6) & (tmin > 1e-6)
@@ -73,13 +73,17 @@ class BoxWorld:
 
 
 def default_world() -> BoxWorld:
-    """A 24x16x6 m hall with four pillars — Office/Hall-like geometry."""
+    """A 24x16x3 m hall with four pillars — Office/Hall-like geometry.
+
+    The 3 m ceiling keeps floor/ceiling returns inside the +-15 deg ring
+    fan at non-grazing range, like a real indoor scan.
+    """
     return BoxWorld(
-        room_min=(-12.0, -8.0, -2.0), room_max=(12.0, 8.0, 4.0),
-        pillars=[((-6.5, -3.5, -2.0), (-5.5, -2.5, 4.0)),
-                 ((5.5, -3.5, -2.0), (6.5, -2.5, 4.0)),
-                 ((-6.5, 2.5, -2.0), (-5.5, 3.5, 4.0)),
-                 ((5.5, 2.5, -2.0), (6.5, 3.5, 4.0))])
+        room_min=(-12.0, -8.0, -1.3), room_max=(12.0, 8.0, 1.7),
+        pillars=[((-6.5, -3.5, -1.3), (-5.5, -2.5, 1.7)),
+                 ((5.5, -3.5, -1.3), (6.5, -2.5, 1.7)),
+                 ((-6.5, 2.5, -1.3), (-5.5, 3.5, 1.7)),
+                 ((5.5, 2.5, -1.3), (6.5, 3.5, 1.7))])
 
 
 # --------------------------------------------------------------------------

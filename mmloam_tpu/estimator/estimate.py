@@ -91,8 +91,8 @@ def estimate(x0, stacks: Stacks, vm_corner, vm_surf, preint, pair_valid,
         if do_marginalize:
             new_prior = solver.marginalize(x, lt, pt, preint, prior, gravity,
                                            Rbl, tbl, cfg)
-        n_line = jnp.sum(lt.valid)
-        n_plane = jnp.sum(pt.valid)
+        n_line = jnp.sum(lt.valid).astype(jnp.int32)
+        n_plane = jnp.sum(pt.valid).astype(jnp.int32)
         return EstimateResult(x=x, degenerate=deg, fail=fail, sv_min=sv,
                               prior=new_prior, n_line=n_line, n_plane=n_plane)
 
@@ -116,7 +116,7 @@ def estimate(x0, stacks: Stacks, vm_corner, vm_surf, preint, pair_valid,
             Rbl, tbl, cfg, s.max_inner_iters,
             huber_delta=s.huber_delta_scale)
         x = res.x
-        n_line = jnp.sum(lt.valid)
-        n_plane = jnp.sum(pt.valid)
+        n_line = jnp.sum(lt.valid).astype(jnp.int32)
+        n_plane = jnp.sum(pt.valid).astype(jnp.int32)
     return EstimateResult(x=x, degenerate=deg, fail=fail, sv_min=sv,
                           prior=prior, n_line=n_line, n_plane=n_plane)

@@ -1,0 +1,567 @@
+"""The LIO pipeline: one pure `step(state, scan) -> (state, output)`.
+
+TPU-native re-architecture of the reference's mm_PoseEstimation node
+(`unionPoseEstimation.cpp:630-1390 process()` + callbacks): the reference's
+3-process / callback / mutex pipeline becomes a single jitted function over
+a pre-decoded scan tensor, per SURVEY.md §7.  The per-scan flow:
+
+  1. feature labels on the raw (skewed) rings — the reference computes
+     features in the mm_scanRegistration process *before* undistortion
+     (unionFeatureExtract.cpp:266-321), so we do too;
+  2. pose prediction — gyro-only before IMU init, full preintegration after
+     (:777-830), with the reference's exact prediction form
+     P+ = P + Q dP (gravity/velocity terms omitted there, :811-814);
+  3. per-point undistortion by the predicted lidar delta (:402-421, :862);
+  4. masked voxel downsample of corner/surf stacks (Estimator.cpp:1012-1026);
+  5. window push + `Estimate` (full or short regime, estimate.py);
+  6. acceptance gates + degeneracy fallback (Estimator.cpp:1041-1067);
+  7. move-gated map insertion of the front frame (:1070-1136);
+  8. IMU-init keyframe accumulation every 3rd scan + TryMAPInitialization
+     (:934-985, initializer.py).
+
+State is a pytree; `jax.lax.scan(step, state, scans)` replays a sequence,
+`jax.vmap`/`shard_map` over the leading batch axis replays many sequences
+per chip / across a mesh.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import lie
+from .estimator import estimate as est
+from .estimator import initializer, solver
+from .ops import downsample, features, preintegration, undistort, voxelmap
+
+N_KF = 3          # init keyframes (pre-init WINDOWSIZE, unionPoseEstimation.cpp:1481)
+KF_EVERY = 3      # keyframe cadence (veloPushCount, :947-960)
+
+
+class ScanInput(NamedTuple):
+    """One decoded scan (ring-organized, padded) + its IMU interval."""
+
+    pts: jnp.ndarray        # (L, N, 3) lidar frame, skewed
+    intensity: jnp.ndarray  # (L, N)
+    n_valid: jnp.ndarray    # (L,) valid prefix length per ring
+    rel_time: jnp.ndarray   # (L, N) in [0, 1] over the scan interval
+    t: jnp.ndarray          # () scan timestamp (s)
+    imu_acc: jnp.ndarray    # (M, 3) specific force, g units
+    imu_gyr: jnp.ndarray    # (M, 3) rad/s
+    imu_dt: jnp.ndarray     # (M,) delta since previous sample
+    imu_mask: jnp.ndarray   # (M,)
+
+
+class StepOutput(NamedTuple):
+    pose_q: jnp.ndarray     # (4,) published lidar pose T_wl (front frame)
+    pose_p: jnp.ndarray     # (3,)
+    t: jnp.ndarray          # () timestamp of the published pose
+    fail: jnp.ndarray       # () failure detected
+    degenerate: jnp.ndarray
+    sv_min: jnp.ndarray
+    inited: jnp.ndarray
+    n_corner: jnp.ndarray
+    n_surf: jnp.ndarray
+
+
+class LIOState(NamedTuple):
+    # sliding window, slot W-1 newest; trailing `frame_valid` slots live
+    x: jnp.ndarray          # (W, 15) body states [P phi V bg ba]
+    t: jnp.ndarray          # (W,)
+    frame_valid: jnp.ndarray
+    stacks: est.Stacks
+    preint: dict            # pair (j-1, j) at slot j; keys dq dp dv jac sqrt_info dt bg ba
+    pair_valid: jnp.ndarray
+    prior: solver.Prior
+    vm_corner: voxelmap.VoxelMap
+    vm_surf: voxelmap.VoxelMap
+    vm_non: voxelmap.VoxelMap
+    inited: jnp.ndarray     # () bool — LidarIMUInited
+    gravity: jnp.ndarray    # (3,)
+    last_map_pos: jnp.ndarray   # (3,) position of last map insertion
+    map_has_data: jnp.ndarray   # () bool
+    # pre-init constant-motion deltas (body frame), :846-860
+    dqb: jnp.ndarray        # (4,)
+    dtb: jnp.ndarray        # (3,)
+    # init keyframe accumulation (lidar poses + raw IMU buffers)
+    kf_x: jnp.ndarray       # (N_KF, 7) [q, p] lidar pose
+    kf_t: jnp.ndarray       # (N_KF,)
+    kf_stacks: "est.Stacks"  # (N_KF, ...) keyframe feature stacks
+    kf_imu: jnp.ndarray     # (N_KF, Mi, 7) [acc, gyr, dt]
+    kf_imu_mask: jnp.ndarray   # (N_KF, Mi)
+    kf_imu_n: jnp.ndarray   # (N_KF,) fill level
+    kf_count: jnp.ndarray   # () keyframes accumulated
+    kf_phase: jnp.ndarray   # () veloPushCount
+    avg_acc: jnp.ndarray    # (3,) negated mean specific force of first interval
+    # extrinsics (body-from-lidar), from Extrinsic_Tlb (launch :49-52)
+    Rbl: jnp.ndarray        # (3, 3)
+    tbl: jnp.ndarray        # (3,)
+    step_idx: jnp.ndarray
+
+
+def _empty_preint(W, dtype):
+    return dict(
+        dq=jnp.tile(jnp.array([1.0, 0, 0, 0], dtype), (W, 1)),
+        dp=jnp.zeros((W, 3), dtype), dv=jnp.zeros((W, 3), dtype),
+        jac=jnp.tile(jnp.eye(15, dtype=dtype), (W, 1, 1)),
+        sqrt_info=jnp.zeros((W, 15, 15), dtype),
+        dt=jnp.zeros((W,), dtype), bg=jnp.zeros((W, 3), dtype),
+        ba=jnp.zeros((W, 3), dtype))
+
+
+def init_state(cfg, Rbl=None, tbl=None, dtype=jnp.float32, kf_imu_cap=256):
+    W = cfg.solver.window
+    sc = cfg.scan
+    return LIOState(
+        x=jnp.zeros((W, 15), dtype),
+        t=jnp.zeros((W,), dtype),
+        frame_valid=jnp.zeros((W,), bool),
+        stacks=est.Stacks(
+            corner=jnp.zeros((W, sc.max_corner, 3), dtype),
+            corner_mask=jnp.zeros((W, sc.max_corner), bool),
+            surf=jnp.zeros((W, sc.max_surf, 3), dtype),
+            surf_mask=jnp.zeros((W, sc.max_surf), bool)),
+        preint=_empty_preint(W, dtype),
+        pair_valid=jnp.zeros((W,), bool),
+        prior=solver.empty_prior(dtype),
+        vm_corner=voxelmap.empty_map(cfg.map),
+        vm_surf=voxelmap.empty_map(cfg.map),
+        vm_non=voxelmap.empty_map(cfg.map),
+        inited=jnp.asarray(False),
+        gravity=jnp.array([0.0, 0.0, -cfg.imu.gnorm], dtype),
+        last_map_pos=jnp.zeros((3,), dtype),
+        map_has_data=jnp.asarray(False),
+        dqb=jnp.array([1.0, 0, 0, 0], dtype),
+        dtb=jnp.zeros((3,), dtype),
+        kf_x=jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 0], dtype), (N_KF, 1)),
+        kf_t=jnp.zeros((N_KF,), dtype),
+        kf_stacks=est.Stacks(
+            corner=jnp.zeros((N_KF, sc.max_corner, 3), dtype),
+            corner_mask=jnp.zeros((N_KF, sc.max_corner), bool),
+            surf=jnp.zeros((N_KF, sc.max_surf, 3), dtype),
+            surf_mask=jnp.zeros((N_KF, sc.max_surf), bool)),
+        kf_imu=jnp.zeros((N_KF, kf_imu_cap, 7), dtype),
+        kf_imu_mask=jnp.zeros((N_KF, kf_imu_cap), bool),
+        kf_imu_n=jnp.zeros((N_KF,), jnp.int32),
+        kf_count=jnp.int32(0),
+        kf_phase=jnp.int32(0),
+        avg_acc=jnp.zeros((3,), dtype),
+        Rbl=jnp.eye(3, dtype=dtype) if Rbl is None else jnp.asarray(Rbl, dtype),
+        tbl=jnp.zeros((3,), dtype) if tbl is None else jnp.asarray(tbl, dtype),
+        step_idx=jnp.int32(0))
+
+
+def _body_pose(x15):
+    return lie.exp_quat(x15[3:6]), x15[0:3]
+
+
+def _lidar_pose(x15, Rbl, tbl):
+    q_wb, p_wb = _body_pose(x15)
+    q_bl = lie.matrix_to_quat(Rbl)
+    q_wl = lie.quat_mul(q_wb, q_bl)
+    p_wl = lie.quat_rotate(q_wb, tbl) + p_wb
+    return q_wl, p_wl
+
+
+def _shift_window(state: LIOState, new_x, new_t, new_stacks_frame, new_preint,
+                  new_pair_valid):
+    """Push a frame at slot W-1, dropping slot 0 (list pop_front)."""
+    roll1 = lambda a: jnp.roll(a, -1, axis=0)
+    x = roll1(state.x).at[-1].set(new_x)
+    t = roll1(state.t).at[-1].set(new_t)
+    fv = roll1(state.frame_valid).at[-1].set(True)
+    stacks = est.Stacks(
+        corner=roll1(state.stacks.corner).at[-1].set(new_stacks_frame.corner),
+        corner_mask=roll1(state.stacks.corner_mask).at[-1].set(new_stacks_frame.corner_mask),
+        surf=roll1(state.stacks.surf).at[-1].set(new_stacks_frame.surf),
+        surf_mask=roll1(state.stacks.surf_mask).at[-1].set(new_stacks_frame.surf_mask))
+    preint = {k: roll1(v).at[-1].set(new_preint[k]) for k, v in state.preint.items()}
+    pv = roll1(state.pair_valid).at[-1].set(new_pair_valid)
+    return x, t, fv, stacks, preint, pv
+
+
+class FrameStack(NamedTuple):
+    corner: jnp.ndarray
+    corner_mask: jnp.ndarray
+    surf: jnp.ndarray
+    surf_mask: jnp.ndarray
+
+
+def _build_stacks(pts_ds, labels, valid, cfg, dtype):
+    """Label split + voxel downsample into one frame's fixed stacks."""
+    sc = cfg.scan
+    flat = pts_ds.reshape(-1, 3)
+    lab = labels.reshape(-1)
+    vmask = valid.reshape(-1)
+    corner, cmask, _ = downsample.voxel_downsample(
+        flat, vmask & (lab == 1), sc.filter_corner, sc.max_corner)
+    surf, smask, _ = downsample.voxel_downsample(
+        flat, vmask & (lab == 2), sc.filter_surf, sc.max_surf)
+    return FrameStack(corner=corner.astype(dtype), corner_mask=cmask,
+                      surf=surf.astype(dtype), surf_mask=smask)
+
+
+class PreparedFrame(NamedTuple):
+    """Stages 1-5 of `step`: window contents ready for the estimator."""
+
+    x_w: jnp.ndarray
+    t_w: jnp.ndarray
+    fv_w: jnp.ndarray
+    stacks_w: "est.Stacks"
+    preint_w: dict
+    pv_w: jnp.ndarray
+    prior_w: solver.Prior
+    q_wl_pred: jnp.ndarray   # predicted lidar pose (for fallbacks)
+    p_wl_pred: jnp.ndarray
+    q_prev: jnp.ndarray      # previous newest body pose
+    p_prev: jnp.ndarray
+    have_prev: jnp.ndarray
+    fstack: "FrameStack"     # this scan's downsampled stacks
+
+
+def prepare_frame(state: LIOState, scan: ScanInput, cfg) -> PreparedFrame:
+    """Features, prediction, undistortion, stacks, window push."""
+    dtype = state.x.dtype
+
+    # ---- 1. features on the raw rings --------------------------------
+    labels = features.extract_scan_features(scan.pts, scan.intensity,
+                                            scan.n_valid, cfg)
+    ring_valid = jnp.arange(scan.pts.shape[1])[None, :] < scan.n_valid[:, None]
+
+    # ---- 2. prediction ----------------------------------------------
+    x_prev = state.x[-1]
+    q_prev, p_prev = _body_pose(x_prev)
+    have_prev = state.frame_valid[-1]
+
+    pre = preintegration.preintegrate(
+        scan.imu_acc, scan.imu_gyr, scan.imu_dt, scan.imu_mask,
+        x_prev[9:12], x_prev[12:15], cfg.imu)
+    dq_gyro = preintegration.gyro_integrate(scan.imu_gyr, scan.imu_dt,
+                                            scan.imu_mask)
+
+    # post-init: preintegration prediction (:806-817, gravity terms omitted
+    # exactly like the reference); pre-init: gyro rotation + delta replay
+    q_pred_full = lie.quat_normalize(lie.quat_mul(q_prev, pre.dq))
+    p_pred_full = p_prev + lie.quat_rotate(q_prev, pre.dp)
+    v_pred_full = x_prev[6:9] + lie.quat_rotate(q_prev, pre.dv)
+
+    q_pred_pre = lie.quat_normalize(lie.quat_mul(q_prev, dq_gyro))
+    p_pred_pre = p_prev + lie.quat_rotate(q_prev, state.dtb)
+
+    q_pred = jnp.where(state.inited, q_pred_full, q_pred_pre)
+    p_pred = jnp.where(state.inited, p_pred_full, p_pred_pre)
+    v_pred = jnp.where(state.inited, v_pred_full, x_prev[6:9])
+    q_pred = jnp.where(have_prev, q_pred, jnp.array([1.0, 0, 0, 0], dtype))
+    p_pred = jnp.where(have_prev, p_pred, jnp.zeros(3, dtype))
+
+    x_new = jnp.zeros((15,), dtype)
+    x_new = x_new.at[0:3].set(p_pred)
+    x_new = x_new.at[3:6].set(lie.log_quat(q_pred))
+    x_new = x_new.at[6:9].set(v_pred)
+    x_new = x_new.at[9:15].set(x_prev[9:15])
+
+    # ---- 3. undistortion by the predicted lidar delta (:402-421) -----
+    q_bl = lie.matrix_to_quat(state.Rbl)
+    q_wl_prev = lie.quat_mul(q_prev, q_bl)
+    p_wl_prev = lie.quat_rotate(q_prev, state.tbl) + p_prev
+    q_wl_pred = lie.quat_mul(q_pred, q_bl)
+    p_wl_pred = lie.quat_rotate(q_pred, state.tbl) + p_pred
+    dq_l = lie.quat_mul(lie.quat_conj(q_wl_prev), q_wl_pred)
+    dt_l = lie.quat_rotate(lie.quat_conj(q_wl_prev), p_wl_pred - p_wl_prev)
+    dq_l = jnp.where(have_prev, dq_l, jnp.array([1.0, 0, 0, 0], dtype))
+    dt_l = jnp.where(have_prev, dt_l, jnp.zeros(3, dtype))
+
+    flat_pts = scan.pts.reshape(-1, 3).astype(dtype)
+    flat_rel = scan.rel_time.reshape(-1).astype(dtype)
+    pts_ds = undistort.undistort(flat_pts, flat_rel, dq_l, dt_l)
+    pts_ds = pts_ds.reshape(scan.pts.shape)
+
+    # ---- 4. stacks ----------------------------------------------------
+    fstack = _build_stacks(pts_ds, labels, ring_valid, cfg, dtype)
+
+    # ---- 5. window push ----------------------------------------------
+    new_preint = dict(dq=pre.dq.astype(dtype), dp=pre.dp.astype(dtype),
+                      dv=pre.dv.astype(dtype),
+                      jac=pre.jac.astype(dtype),
+                      sqrt_info=(cfg.imu.lidar_m *
+                                 preintegration.sqrt_info_from_cov(pre.cov)
+                                 ).astype(dtype),
+                      dt=pre.dtime.astype(dtype),
+                      bg=x_prev[9:12], ba=x_prev[12:15])
+    pair_ok = state.inited & have_prev & jnp.any(scan.imu_mask)
+
+    # post-init: slide the window.  pre-init: a fresh single-frame list
+    # (velo_list.reset + push_back, :846-860)
+    xs, ts, fvs, stacks_s, preint_s, pvs = _shift_window(
+        state, x_new, scan.t, fstack, new_preint, pair_ok)
+
+    single = lambda a, new: jnp.zeros_like(a).at[-1].set(new)
+    x_w = jnp.where(state.inited, xs, single(state.x, x_new))
+    t_w = jnp.where(state.inited, ts, single(state.t, scan.t))
+    fv_w = jnp.where(state.inited, fvs,
+                     jnp.zeros_like(state.frame_valid).at[-1].set(True))
+    stacks_w = jax.tree.map(
+        lambda rolled, old, new: jnp.where(
+            state.inited, rolled, single(old, new)),
+        stacks_s, est.Stacks(*state.stacks),
+        est.Stacks(corner=fstack.corner, corner_mask=fstack.corner_mask,
+                   surf=fstack.surf, surf_mask=fstack.surf_mask))
+    preint_w = {k: jnp.where(state.inited, preint_s[k],
+                             jnp.zeros_like(state.preint[k]).at[-1].set(new_preint[k]))
+                for k in preint_s}
+    pv_w = jnp.where(state.inited, pvs, jnp.zeros_like(state.pair_valid))
+    prior_w = jax.tree.map(
+        lambda p: jnp.where(state.inited, p, jnp.zeros_like(p)), state.prior)
+
+    return PreparedFrame(x_w=x_w, t_w=t_w, fv_w=fv_w,
+                         stacks_w=est.Stacks(*stacks_w), preint_w=preint_w,
+                         pv_w=pv_w, prior_w=prior_w,
+                         q_wl_pred=q_wl_pred, p_wl_pred=p_wl_pred,
+                         q_prev=q_prev, p_prev=p_prev, have_prev=have_prev,
+                         fstack=fstack)
+
+
+def step(state: LIOState, scan: ScanInput, cfg):
+    """One scan through the full LIO stack.  Pure; jit/vmap/scan-able."""
+    dtype = state.x.dtype
+    W = cfg.solver.window
+
+    pf = prepare_frame(state, scan, cfg)
+    x_w, t_w, fv_w = pf.x_w, pf.t_w, pf.fv_w
+    stacks_w, preint_w, pv_w, prior_w = (pf.stacks_w, pf.preint_w, pf.pv_w,
+                                         pf.prior_w)
+    q_wl_pred, p_wl_pred = pf.q_wl_pred, pf.p_wl_pred
+    q_prev, p_prev, have_prev = pf.q_prev, pf.p_prev, pf.have_prev
+
+    # ---- 6. estimate --------------------------------------------------
+    n_frames = jnp.sum(fv_w)
+    full = state.inited & (n_frames == W)
+    # the reference only runs the estimator once the map holds surf data
+    # (EstimateLidarPose gate :1030-1035)
+    can_estimate = state.map_has_data
+
+    def run_est(full_mode):
+        return est.estimate(
+            x_w, stacks_w, state.vm_corner, state.vm_surf, preint_w, pv_w,
+            prior_w, fv_w, state.gravity, state.Rbl, state.tbl, cfg,
+            full_window=full_mode, do_marginalize=full_mode)
+
+    def est_branch(_):
+        return jax.lax.cond(full, lambda __: run_est(True),
+                            lambda __: run_est(False), None)
+
+    def skip_branch(_):
+        return est.EstimateResult(
+            x=x_w, degenerate=jnp.asarray(False), fail=jnp.asarray(False),
+            sv_min=jnp.asarray(-1.0, dtype), prior=prior_w,
+            n_line=jnp.int32(0), n_plane=jnp.int32(0))
+
+    res = jax.lax.cond(can_estimate, est_branch, skip_branch, None)
+
+    # full-window marginalization happened inside estimate; keep the prior
+    # only when it ran
+    prior_next = jax.tree.map(
+        lambda new, old: jnp.where(full & can_estimate, new, old),
+        res.prior, prior_w)
+
+    # ---- 7. acceptance gates (EstimateLidarPose :1041-1067) -----------
+    corner_cnt = jnp.sum(jnp.where(fv_w[:, None], stacks_w.corner_mask, False))
+    accept = corner_cnt > cfg.solver.corner_cnt_gate_velo
+    x_opt = res.x
+    # fallback: optimized x/y of the front frame, predicted z (:1050-1060)
+    front_idx = W - n_frames          # oldest valid slot
+    x_front = x_opt[front_idx]
+    q_pub, p_pub = _lidar_pose(x_front, state.Rbl, state.tbl)
+    q_pred_l, p_pred_l = q_wl_pred, p_wl_pred
+    p_fb = jnp.array([p_pub[0], p_pub[1], p_pred_l[2]])
+    p_pub = jnp.where(accept, p_pub, p_fb)
+    q_pub = jnp.where(accept, q_pub, q_pred_l)
+
+    x_next = jnp.where(accept | ~can_estimate, x_opt, x_w)
+
+    # ---- 8. map update (move-gated front-frame insertion, :1070-1136) --
+    moved = jnp.sum((p_pub - state.last_map_pos) ** 2) >= cfg.solver.map_move_dist_sq
+    do_map = (~res.fail) & (moved | ~state.map_has_data)
+    front_stack = jax.tree.map(lambda a: a[front_idx], est.Stacks(*stacks_w))
+    Rwl = lie.quat_to_matrix(q_pub)
+
+    def insert(vm, pts, mask):
+        wpts = pts @ Rwl.T + p_pub[None, :]
+        return voxelmap.insert(vm, wpts, mask & do_map, cfg.map)
+
+    vm_corner = insert(state.vm_corner, front_stack.corner, front_stack.corner_mask)
+    vm_surf = insert(state.vm_surf, front_stack.surf, front_stack.surf_mask)
+    last_map_pos = jnp.where(do_map, p_pub, state.last_map_pos)
+    map_has_data = state.map_has_data | do_map
+
+    # ---- 9. pre-init bookkeeping + TryMAPInitialization ----------------
+    new_state = state._replace(
+        x=x_next, t=t_w, frame_valid=fv_w, stacks=est.Stacks(*stacks_w),
+        preint=preint_w, pair_valid=pv_w, prior=prior_next,
+        vm_corner=vm_corner, vm_surf=vm_surf,
+        last_map_pos=last_map_pos, map_has_data=map_has_data,
+        dqb=jnp.where(have_prev, lie.quat_mul(lie.quat_conj(q_prev),
+                                              lie.exp_quat(x_next[-1][3:6])),
+                      state.dqb),
+        dtb=jnp.where(have_prev,
+                      lie.quat_rotate(lie.quat_conj(q_prev),
+                                      x_next[-1][0:3] - p_prev),
+                      state.dtb),
+        step_idx=state.step_idx + 1)
+
+    new_state = jax.lax.cond(
+        state.inited | (cfg.imu_mode <= 1),
+        lambda s: s,
+        lambda s: _init_bookkeeping(s, scan, q_pub, p_pub, pf.fstack, cfg),
+        new_state)
+
+    out = StepOutput(pose_q=q_pub, pose_p=p_pub, t=t_w[front_idx],
+                     fail=res.fail, degenerate=res.degenerate,
+                     sv_min=res.sv_min, inited=new_state.inited,
+                     n_corner=corner_cnt.astype(jnp.int32),
+                     n_surf=jnp.sum(jnp.where(fv_w[:, None],
+                                              stacks_w.surf_mask, False)
+                                    ).astype(jnp.int32))
+    return new_state, out
+
+
+def _init_bookkeeping(state: LIOState, scan: ScanInput, q_pub, p_pub, fstack,
+                      cfg):
+    """Keyframe accumulation + init attempt (unionPoseEstimation :934-985)."""
+    dtype = state.x.dtype
+    Mi = state.kf_imu.shape[1]
+    phase = state.kf_phase
+
+    new_kf_stack = est.Stacks(corner=fstack.corner,
+                              corner_mask=fstack.corner_mask,
+                              surf=fstack.surf, surf_mask=fstack.surf_mask)
+
+    # phase 0: open a new keyframe slot (shift); else: update the newest
+    # (the reference overwrites back().laserCloud/pose each scan, :952-958)
+    def open_slot(s):
+        roll1 = lambda a: jnp.roll(a, -1, axis=0)
+        return s._replace(
+            kf_x=roll1(s.kf_x).at[-1].set(jnp.concatenate([q_pub, p_pub])),
+            kf_t=roll1(s.kf_t).at[-1].set(scan.t),
+            kf_stacks=jax.tree.map(
+                lambda a, new: roll1(a).at[-1].set(new),
+                s.kf_stacks, new_kf_stack),
+            kf_imu=roll1(s.kf_imu).at[-1].set(0.0),
+            kf_imu_mask=roll1(s.kf_imu_mask).at[-1].set(False),
+            kf_imu_n=roll1(s.kf_imu_n).at[-1].set(0),
+            kf_count=jnp.minimum(s.kf_count + 1, N_KF))
+
+    def update_slot(s):
+        return s._replace(
+            kf_x=s.kf_x.at[-1].set(jnp.concatenate([q_pub, p_pub])),
+            kf_t=s.kf_t.at[-1].set(scan.t),
+            kf_stacks=jax.tree.map(lambda a, new: a.at[-1].set(new),
+                                   s.kf_stacks, new_kf_stack))
+
+    state = jax.lax.cond(phase == 0, open_slot, update_slot, state)
+
+    # append this scan's IMU into the newest keyframe buffer
+    n0 = state.kf_imu_n[-1]
+    samples = jnp.concatenate([scan.imu_acc, scan.imu_gyr,
+                               scan.imu_dt[:, None]], axis=-1).astype(dtype)
+    idx = n0 + jnp.arange(samples.shape[0])
+    idx = jnp.where(scan.imu_mask, idx, Mi)       # dropped when masked/overflow
+    kf_imu = state.kf_imu.at[-1, idx].set(samples, mode="drop")
+    kf_mask = state.kf_imu_mask.at[-1, idx].set(True, mode="drop")
+    n_new = jnp.minimum(n0 + jnp.sum(scan.imu_mask.astype(jnp.int32)), Mi)
+    state = state._replace(kf_imu=kf_imu, kf_imu_mask=kf_mask,
+                           kf_imu_n=state.kf_imu_n.at[-1].set(n_new))
+
+    # first-interval average specific force (negated), :428-432
+    avg = -preintegration.average_acc(scan.imu_acc, scan.imu_mask, cfg.imu)
+    state = state._replace(
+        avg_acc=jnp.where((state.kf_count == 1) & (phase == 0),
+                          avg.astype(dtype), state.avg_acc))
+
+    phase_next = (phase + 1) % KF_EVERY
+    try_init = (phase_next == 0) & (state.kf_count == N_KF)
+    state = state._replace(kf_phase=phase_next)
+    return jax.lax.cond(try_init, lambda s: _try_init(s, cfg), lambda s: s,
+                        state)
+
+
+def _try_init(state: LIOState, cfg):
+    """TryMAPInitialization (:425-627) + window seeding on success."""
+    dtype = state.x.dtype
+
+    # preintegrate each keyframe interval with zero biases
+    def pre_one(buf, mask):
+        return preintegration.preintegrate(
+            buf[:, 0:3], buf[:, 3:6], buf[:, 6], mask,
+            jnp.zeros(3, dtype), jnp.zeros(3, dtype), cfg.imu)
+
+    pr = jax.vmap(pre_one)(state.kf_imu, state.kf_imu_mask)
+    preint9 = dict(dq=pr.dq, dp=pr.dp, dv=pr.dv, jac=pr.jac, cov=pr.cov,
+                   dt=pr.dtime, bg=pr.bg, ba=pr.ba)
+
+    # exRlb/exPlb: lidar-from-body inverse of (Rbl, tbl)
+    Rlb = state.Rbl.T
+    tlb = -state.Rbl.T @ state.tbl
+    res = initializer.initialize(state.kf_x[:, 4:7], state.kf_x[:, 0:4],
+                                 state.avg_acc, preint9, cfg.imu.gnorm,
+                                 Rlb, tlb)
+
+    def on_ok(s):
+        W = cfg.solver.window
+        # window <- the keyframes (trailing slots), including their feature
+        # stacks (the reference's veloFrameList keyframes carry laserCloud);
+        # newest pose converted lidar->body (:616-619), others kept as-is
+        x = jnp.zeros((W, 15), dtype)
+        t = jnp.zeros((W,), dtype)
+        fv = jnp.zeros((W,), bool)
+        stacks = jax.tree.map(
+            lambda a, kf: jnp.zeros_like(a).at[W - N_KF:].set(kf),
+            est.Stacks(*s.stacks), s.kf_stacks)
+        for i in range(N_KF):
+            slot = W - N_KF + i
+            q_l = s.kf_x[i, 0:4]
+            p_l = s.kf_x[i, 4:7]
+            if i == N_KF - 1:
+                q_b = lie.quat_mul(q_l, lie.matrix_to_quat(Rlb))
+                p_b = p_l + lie.quat_rotate(q_l, tlb)
+            else:
+                q_b, p_b = q_l, p_l
+            xi = jnp.zeros(15, dtype)
+            xi = xi.at[0:3].set(p_b)
+            xi = xi.at[3:6].set(lie.log_quat(q_b))
+            xi = xi.at[6:9].set(res.v[i])
+            xi = xi.at[9:12].set(res.bg)
+            xi = xi.at[12:15].set(res.ba)
+            x = x.at[slot].set(xi)
+            t = t.at[slot].set(s.kf_t[i])
+            fv = fv.at[slot].set(True)
+
+        # re-preintegrate the intervals with the initialized biases (:603-609)
+        def pre_b(buf, mask):
+            return preintegration.preintegrate(
+                buf[:, 0:3], buf[:, 3:6], buf[:, 6], mask, res.bg, res.ba,
+                cfg.imu)
+
+        pr2 = jax.vmap(pre_b)(s.kf_imu, s.kf_imu_mask)
+        preint = _empty_preint(W, dtype)
+        pv = jnp.zeros((W,), bool)
+        for i in range(1, N_KF):
+            slot = W - N_KF + i
+            si = (cfg.imu.lidar_m *
+                  preintegration.sqrt_info_from_cov(pr2.cov[i])).astype(dtype)
+            for k, v in (("dq", pr2.dq[i]), ("dp", pr2.dp[i]),
+                         ("dv", pr2.dv[i]), ("jac", pr2.jac[i].astype(dtype)),
+                         ("sqrt_info", si), ("dt", pr2.dtime[i]),
+                         ("bg", res.bg), ("ba", res.ba)):
+                preint[k] = preint[k].at[slot].set(v.astype(dtype) if hasattr(v, "astype") else v)
+            pv = pv.at[slot].set(True)
+
+        return s._replace(x=x, t=t, frame_valid=fv, stacks=stacks,
+                          preint=preint,
+                          pair_valid=pv, inited=jnp.asarray(True),
+                          gravity=res.gravity.astype(dtype),
+                          prior=solver.empty_prior(dtype))
+
+    return jax.lax.cond(res.ok, on_ok, lambda s: s, state)

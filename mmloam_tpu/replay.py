@@ -1,0 +1,122 @@
+"""Sequence replay driver + trajectory metrics.
+
+Replaces the reference's operational harness (`rosbag play` + roslaunch +
+RViz, README.md:48-62) with: a host-side sequence builder producing stacked
+`ScanInput` tensors, a jitted `lax.scan` replay over one sequence, `vmap`
+over a batch of sequences, and ATE metrics against ground truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import lie, pipeline
+from .data import synthetic
+
+
+def make_sequence(world, traj, t0, n_scans, cfg, scan_hz=10.0, imu_rate=200.0,
+                  range_noise=0.0, imu_noise=(0.0, 0.0), bg=(0, 0, 0),
+                  ba=(0, 0, 0), g_vec=None, n_az=900, seed=0,
+                  dtype=np.float32):
+    """Build a stacked ScanInput pytree of `n_scans` scans + ground truth.
+
+    Scan i spans (t_{i-1}, t_i] with stamp t_i = t0 + (i+1)/scan_hz, points
+    sampled at per-azimuth times (motion-skewed, like a real spinning
+    lidar); the IMU window covers the same interval — matching the
+    reference's fetchImuMsgs windows (unionPoseEstimation.cpp:307-395).
+    Ground truth is the lidar pose at each stamp.
+    """
+    rng = np.random.default_rng(seed)
+    period = 1.0 / scan_hz
+    L = len(synthetic.VLP16_ELEVATIONS_DEG)
+    M = cfg.imu.max_samples
+
+    el = np.deg2rad(synthetic.VLP16_ELEVATIONS_DEG)
+    az = -np.pi + 2 * np.pi * (np.arange(n_az) + 0.5) / n_az
+    ca, sa = np.cos(az), np.sin(az)
+    ce, se = np.cos(el), np.sin(el)
+    dirs_l = np.stack([ce[:, None] * ca[None, :],
+                       ce[:, None] * sa[None, :],
+                       np.broadcast_to(se[:, None], (L, n_az))], axis=-1)
+
+    scans = []
+    gt = []
+    for i in range(n_scans):
+        ts_start = t0 + i * period
+        ts_end = ts_start + period
+        # per-azimuth measurement times and poses
+        t_az = ts_start + (np.arange(n_az) + 0.5) / n_az * period
+        R_az = traj.rot(t_az)                       # (n_az,3,3) world-from-body(=lidar)
+        p_az = traj.pos(t_az)
+        dirs_w = np.einsum("aij,laj->lai", R_az, dirs_l)
+        origins = np.broadcast_to(p_az[None, :, :], (L, n_az, 3))
+        r = world.raycast(origins.reshape(-1, 3), dirs_w.reshape(-1, 3))
+        r = r.reshape(L, n_az)
+        valid = np.isfinite(r)
+        if range_noise > 0:
+            r = r + np.where(valid, rng.normal(0, range_noise, r.shape), 0.0)
+        pts = dirs_l * np.where(valid, r, 0.0)[..., None]
+        rel = np.broadcast_to((np.arange(n_az) + 0.5) / n_az, (L, n_az))
+
+        # compact valid points to a prefix per ring (decoder behavior)
+        pts_c = np.zeros((L, n_az, 3))
+        rel_c = np.zeros((L, n_az))
+        n_val = valid.sum(axis=1).astype(np.int32)
+        for l in range(L):
+            sel = np.where(valid[l])[0]
+            pts_c[l, :len(sel)] = pts[l, sel]
+            rel_c[l, :len(sel)] = rel[sel] if rel.ndim == 1 else rel[l, sel]
+
+        acc, gyr, its = synthetic.simulate_imu(
+            traj, ts_start, ts_end, rate=imu_rate, gnorm=cfg.imu.gnorm,
+            bg=bg, ba=np.asarray(ba), noise_gyr=imu_noise[0],
+            noise_acc=imu_noise[1], rng=rng if sum(imu_noise) > 0 else None,
+            g_vec=g_vec)
+        dts = np.diff(np.concatenate([[ts_start], its]))
+        m = len(its)
+        imu_acc = np.zeros((M, 3)); imu_acc[:m] = acc[:M]
+        imu_gyr = np.zeros((M, 3)); imu_gyr[:m] = gyr[:M]
+        imu_dt = np.zeros(M); imu_dt[:m] = dts[:M]
+        imu_mask = np.arange(M) < min(m, M)
+
+        scans.append(pipeline.ScanInput(
+            pts=pts_c.astype(dtype), intensity=np.zeros((L, n_az), dtype),
+            n_valid=n_val, rel_time=rel_c.astype(dtype),
+            t=np.asarray(ts_end, dtype),
+            imu_acc=imu_acc.astype(dtype), imu_gyr=imu_gyr.astype(dtype),
+            imu_dt=imu_dt.astype(dtype), imu_mask=imu_mask))
+        gt.append((traj.rot(ts_end), traj.pos(ts_end)))
+
+    stacked = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *scans)
+    gt_R = np.stack([g[0] for g in gt])
+    gt_p = np.stack([g[1] for g in gt])
+    return stacked, gt_R, gt_p
+
+
+def replay(state, scans, cfg):
+    """lax.scan the pipeline over a stacked ScanInput sequence (jitted)."""
+
+    @jax.jit
+    def run(state, scans):
+        return jax.lax.scan(lambda s, sc: pipeline.step(s, sc, cfg),
+                            state, scans)
+
+    return run(state, scans)
+
+
+def ate_rmse(est_q, est_p, gt_R, gt_p):
+    """ATE RMSE after first-pose alignment (odometry starts at identity)."""
+    R0 = gt_R[0]
+    p0 = gt_p[0]
+    # ground truth in the first-scan lidar frame
+    gt_rel = np.einsum("ij,nj->ni", R0.T, gt_p - p0)
+    # estimated poses relative to the first estimate
+    q0 = np.asarray(est_q[0])
+    e_rel = np.stack([
+        np.array(lie.quat_rotate(lie.quat_conj(jnp.asarray(q0)),
+                                 jnp.asarray(np.asarray(est_p[i]) - np.asarray(est_p[0]))))
+        for i in range(len(est_p))])
+    err = e_rel - gt_rel
+    return float(np.sqrt((err ** 2).sum(axis=1).mean())), err
