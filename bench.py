@@ -20,7 +20,7 @@ import jax.numpy as jnp
 BASELINE_SCANS_PER_SEC = 200.0
 
 
-def main(batch=4, n_scans=30, warmup=5):
+def main(batch=16, n_scans=30, warmup=5, seed0=None):
     from mmloam_tpu import pipeline, replay
     from mmloam_tpu.config import tiny_config
     from mmloam_tpu.data import synthetic
@@ -28,12 +28,18 @@ def main(batch=4, n_scans=30, warmup=5):
     cfg = tiny_config()
     world = synthetic.default_world()
 
+    # fresh range-noise seeds per invocation so no execution-cache layer
+    # (local or remote) can return memoized results
+    if seed0 is None:
+        seed0 = int(time.time() * 1000) % 100000
+
     seqs = []
     for b in range(batch):
-        traj = synthetic.Trajectory(speed=0.6 + 0.15 * b, z_amp=0.1,
-                                    yaw_rate=0.2 + 0.05 * b)
+        traj = synthetic.Trajectory(speed=0.6 + 0.05 * b, z_amp=0.1,
+                                    yaw_rate=0.2 + 0.02 * b)
         scans, _, _ = replay.make_sequence(world, traj, 0.0, n_scans, cfg,
-                                           n_az=720, seed=b,
+                                           n_az=720, seed=seed0 + b,
+                                           range_noise=0.003,
                                            dtype=np.float32)
         seqs.append(scans)
     batch_scans = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *seqs)
@@ -49,14 +55,16 @@ def main(batch=4, n_scans=30, warmup=5):
             return jax.vmap(lambda s, x: pipeline.step(s, x, cfg))(bs, sc)
         return jax.lax.scan(one, bs, scans)
 
-    # warmup/compile
-    wu = jax.tree.map(lambda a: a[:warmup], batch_scans)
-    st, _ = run(batch_state, wu)
-    jax.block_until_ready(st)
-
-    t0 = time.perf_counter()
+    # compile warmup on the full shape, then time on perturbed inputs so an
+    # execution-result cache cannot serve the timed run.  np.asarray (full
+    # device->host materialization) is the completion barrier — on tunneled
+    # TPU backends block_until_ready alone under-reports.
     st, outs = run(batch_state, batch_scans)
-    jax.block_until_ready(outs)
+    np.asarray(outs.pose_p)
+    timed = batch_scans._replace(pts=batch_scans.pts + np.float32(1e-5))
+    t0 = time.perf_counter()
+    st, outs = run(batch_state, timed)
+    np.asarray(outs.pose_p)
     dt = time.perf_counter() - t0
 
     scans_per_sec = batch * n_scans / dt
@@ -69,4 +77,7 @@ def main(batch=4, n_scans=30, warmup=5):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(batch=int(sys.argv[1]) if len(sys.argv) > 1 else 16,
+         n_scans=int(sys.argv[2]) if len(sys.argv) > 2 else 30)

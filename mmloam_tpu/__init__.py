@@ -35,3 +35,16 @@ import jax as _jax
 # the synthetic hall benchmark).  The engine's matmuls are tiny (normal
 # equations, 3x3/15x15 blocks), so full f32 precision costs nothing here.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# The step graph is large (estimator branches + solver loops); cache
+# compiled executables across processes.
+import os as _os
+
+_cache_dir = _os.environ.get("MMLOAM_JAX_CACHE",
+                             _os.path.expanduser("~/.cache/mmloam_jax"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # pragma: no cover — cache is best-effort
+    pass

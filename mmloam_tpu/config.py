@@ -49,8 +49,10 @@ class FeatureConfig:
 class ScanConfig:
     """Static scan-tensor geometry (ring-organized, padded)."""
 
-    n_lines: int = 16            # scan lines / rings (VLP-16: 16, Horizon: 6)
+    n_lines: int = 16            # scan lines / rings (VLP-16)
     max_pts_per_line: int = 1024  # padded points per line
+    hori_n_lines: int = 6        # Livox Horizon scan lines
+    hori_max_pts_per_line: int = 2048
     # static capacities for compacted feature stacks (per scan)
     max_corner: int = 512
     max_surf: int = 2048
@@ -113,7 +115,7 @@ class SolverConfig:
     init_radius: float = 1.0e4       # initial trust-region radius (Ceres default)
     min_plane_normals: int = 10      # localizability gate (Estimator.cpp:540)
     degenerate_sv: float = 2.0       # smallest singular value gate (:553)
-    corner_cnt_gate_hori: int = 100  # pose-acceptance gates (:1041-1046)
+    corner_cnt_gate_hori: int = 100  # pose-acceptance / merge gates (:1041,:751)
     corner_cnt_gate_velo: int = 50
     map_move_dist_sq: float = 0.5    # map update min move (m^2) (:1083,:1125)
 

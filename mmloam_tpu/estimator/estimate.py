@@ -1,24 +1,23 @@
 """Estimator::Estimate orchestration — association rounds + LM solves.
 
-Mirrors the reference's outer optimize loop (Estimator.cpp:1143-1581):
+Mirrors the reference's outer optimize loop (Estimator.cpp:1143-1581) as ONE
+lax.scan over `max_outer_iters` rounds whose behavior differences between
+the two regimes are pure data (so the pipeline traces a single program and
+`full_window` is an ordinary traced bool):
 
 * **Full-window mode** (window == SLIDEWINDOWSIZE): associations are built
-  ONCE at the entry poses and cached across outer iterations (the
+  once at the entry poses and FROZEN across rounds (the cached
   vLineFeatures/vPlanFeatures early-return path, Estimator.cpp:160-170,
-  585-595), no robust loss, thres_dist=1, plan_weight_tan=3e-4.  The outer
-  loop therefore only re-runs the same solve — equivalent to a single LM
-  run with a larger iteration budget, which is what we do.
-
+  585-595), no robust loss (huber delta -> huge), thres_dist=1,
+  plan_weight_tan=3e-4.
 * **Short-window mode** (warmup / pre-init): associations are rebuilt every
-  outer iteration at the updated poses with the member-variable threshold
-  schedule 25 -> 10 -> 1 -> 1 -> 1 (Estimator.cpp:1203-1208 entry value,
-  :1376-1380 per-iter updates), Huber(0.1) loss on point factors,
-  plan_weight_tan=0.
+  round at the updated poses with the member-variable threshold schedule
+  25 -> 10 -> 1 -> 1 -> 1 (Estimator.cpp:1203-1208, :1376-1380),
+  Huber(0.1) on point factors, plan_weight_tan=0.
 
-Localizability/degeneracy is evaluated from the surf normals of every
-fresh association round, OR-reduced (the reference's shared
-`is_degenerate` flag can only be set, never cleared, across the per-frame
-threads — Estimator.cpp:771-775).
+Localizability (checkLocalizability, Estimator.cpp:536-565) is evaluated on
+every fresh association and OR-reduced, like the reference's set-only
+`is_degenerate` flag (:771-775).
 """
 
 from __future__ import annotations
@@ -29,6 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from . import factors, solver
+
+_HUBER_OFF = 1e12   # Huber with an unreachable delta == no robust loss
 
 
 class Stacks(NamedTuple):
@@ -55,7 +56,7 @@ def _associate_all(x, stacks: Stacks, vm_corner, vm_surf, Rbl, tbl, cfg,
     """Build factor targets for every window frame (vmapped)."""
     def one(x15, cpts, cmask, spts, smask, fv):
         lt = factors.associate_lines(x15[:6], cpts, cmask & fv, vm_corner,
-                                     Rbl, tbl, cfg)
+                                     Rbl, tbl, cfg, thres_dist)
         pt, normals, nv = factors.associate_planes(
             x15[:6], spts, smask & fv, vm_surf, Rbl, tbl, cfg,
             thres_dist, weight_tan)
@@ -69,54 +70,76 @@ def _associate_all(x, stacks: Stacks, vm_corner, vm_surf, Rbl, tbl, cfg,
 
 def estimate(x0, stacks: Stacks, vm_corner, vm_surf, preint, pair_valid,
              prior: solver.Prior, frame_valid, gravity, Rbl, tbl, cfg,
-             full_window: bool, do_marginalize: bool = True):
-    """One scan's window optimization.  Returns EstimateResult.
+             full_window, do_marginalize=None):
+    """One scan's window optimization.  `full_window` is a traced bool.
 
-    `full_window` selects the reference's two regimes (see module doc).
-    Static flag: the pipeline traces both variants it needs.
+    Returns EstimateResult; the prior is updated (marginalization) only
+    when `full_window & do_marginalize`.
     """
     s = cfg.solver
+    dtype = x0.dtype
+    if do_marginalize is None:
+        do_marginalize = full_window
 
-    if full_window:
-        lt, pt, normals, nv = _associate_all(
-            x0, stacks, vm_corner, vm_surf, Rbl, tbl, cfg,
-            s.thres_dist, s.plan_weight_tan, frame_valid)
-        deg, fail, sv = factors.localizability(normals, nv, cfg)
-        res = solver.lm_solve(
-            x0, lt, pt, preint, pair_valid, prior, frame_valid, gravity,
-            Rbl, tbl, cfg, s.max_outer_iters * s.max_inner_iters,
-            huber_delta=None)
-        x = res.x
-        new_prior = prior
-        if do_marginalize:
-            new_prior = solver.marginalize(x, lt, pt, preint, prior, gravity,
-                                           Rbl, tbl, cfg)
-        n_line = jnp.sum(lt.valid).astype(jnp.int32)
-        n_plane = jnp.sum(pt.valid).astype(jnp.int32)
-        return EstimateResult(x=x, degenerate=deg, fail=fail, sv_min=sv,
-                              prior=new_prior, n_line=n_line, n_plane=n_plane)
+    sched_short = jnp.asarray(
+        [s.thres_dist_short, 10.0] + [s.thres_dist] * (s.max_outer_iters - 2),
+        dtype)
+    sched_full = jnp.full((s.max_outer_iters,), s.thres_dist, dtype)
+    sched = jnp.where(full_window, sched_full, sched_short)
+    weight_tan = jnp.where(full_window, s.plan_weight_tan, 0.0).astype(dtype)
+    huber = jnp.where(full_window, _HUBER_OFF, s.huber_delta_scale).astype(dtype)
 
-    # ---- short-window mode: re-associate with the threshold schedule ----
-    sched = [s.thres_dist_short] + [10.0] + [s.thres_dist] * (s.max_outer_iters - 2)
-    x = x0
-    deg = jnp.asarray(False)
-    fail = jnp.asarray(False)
-    sv = jnp.asarray(-1.0, x0.dtype)
-    n_line = jnp.int32(0)
-    n_plane = jnp.int32(0)
-    for thres in sched:
-        lt, pt, normals, nv = _associate_all(
-            x, stacks, vm_corner, vm_surf, Rbl, tbl, cfg,
-            thres, 0.0, frame_valid)
-        deg_i, fail_i, sv = factors.localizability(normals, nv, cfg)
-        deg = deg | deg_i
-        fail = fail | fail_i
+    lt0, pt0, normals0, nv0 = _associate_all(
+        x0, stacks, vm_corner, vm_surf, Rbl, tbl, cfg, sched[0], weight_tan,
+        frame_valid)
+    deg0, fail0, sv0 = factors.localizability(normals0, nv0, cfg)
+
+    def round_fn(carry, thres_i):
+        x, lt, pt, deg, fail, sv, conv = carry
+        # full mode with frozen targets: once the LM has converged, further
+        # rounds are identical — `skip` zeroes the solve's iterations (the
+        # reference's outer convergence break, Estimator.cpp:1448)
         res = solver.lm_solve(
             x, lt, pt, preint, pair_valid, prior, frame_valid, gravity,
-            Rbl, tbl, cfg, s.max_inner_iters,
-            huber_delta=s.huber_delta_scale)
+            Rbl, tbl, cfg, s.max_inner_iters, huber_delta=huber,
+            skip=full_window & conv)
         x = res.x
-        n_line = jnp.sum(lt.valid).astype(jnp.int32)
-        n_plane = jnp.sum(pt.valid).astype(jnp.int32)
-    return EstimateResult(x=x, degenerate=deg, fail=fail, sv_min=sv,
-                          prior=prior, n_line=n_line, n_plane=n_plane)
+        conv = conv | res.converged
+
+        # re-associate for the NEXT round; full mode keeps the frozen
+        # targets — and skips the (expensive) map gathers entirely
+        def reassociate(_):
+            lt_n, pt_n, normals, nv = _associate_all(
+                x, stacks, vm_corner, vm_surf, Rbl, tbl, cfg,
+                thres_i, weight_tan, frame_valid)
+            deg_i, fail_i, sv_i = factors.localizability(normals, nv, cfg)
+            return lt_n, pt_n, deg | deg_i, fail | fail_i, sv_i
+
+        def frozen(_):
+            return lt, pt, deg, fail, sv
+
+        lt, pt, deg, fail, sv = jax.lax.cond(full_window, frozen,
+                                             reassociate, None)
+        return (x, lt, pt, deg, fail, sv, conv), None
+
+    carry0 = (x0, lt0, pt0, deg0, fail0, sv0, jnp.asarray(False))
+    (x, lt, pt, deg, fail, sv, conv), _ = jax.lax.scan(round_fn, carry0,
+                                                       sched[1:])
+    # final solve with the last associations (no-op if already converged
+    # on frozen targets)
+    res = solver.lm_solve(x, lt, pt, preint, pair_valid, prior,
+                          frame_valid, gravity, Rbl, tbl, cfg,
+                          s.max_inner_iters, huber_delta=huber,
+                          skip=full_window & conv)
+    x = res.x
+
+    new_prior = solver.marginalize(x, lt, pt, preint, prior, gravity,
+                                   Rbl, tbl, cfg)
+    marg = full_window & do_marginalize
+    new_prior = jax.tree.map(lambda a, b: jnp.where(marg, a, b),
+                             new_prior, prior)
+
+    return EstimateResult(
+        x=x, degenerate=deg, fail=fail, sv_min=sv, prior=new_prior,
+        n_line=jnp.sum(lt.valid).astype(jnp.int32),
+        n_plane=jnp.sum(pt.valid).astype(jnp.int32))

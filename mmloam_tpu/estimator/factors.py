@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import lie
-from ..ops import voxelmap
+from ..ops import linalg3, voxelmap
 
 
 class LineTargets(NamedTuple):
@@ -69,22 +69,23 @@ def _world_points(x6, p_l, Rbl, tbl):
 # association (builds fixed targets at the current pose, once per scan)
 # --------------------------------------------------------------------------
 
-def associate_lines(x6, p_l, mask, vm, Rbl, tbl, cfg) -> LineTargets:
+def associate_lines(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist) -> LineTargets:
     """Corner association: 5-NN -> PCA line fit -> eigenvalue gate.
 
-    Mirrors Estimator.cpp:189-277: 5th-NN sq-distance < thres_dist, largest
-    eigenvalue > 3x middle, line = centroid +- direction.
+    Mirrors Estimator.cpp:189-277: 5th-NN sq-distance < thres_dist (the
+    shared member-variable schedule), largest eigenvalue > 3x middle,
+    line = centroid +- direction.
     """
     pw = _world_points(x6, p_l, Rbl, tbl)
     nbr, nvalid, d2 = voxelmap.query_knn(vm, pw, mask, cfg.map)
     k = cfg.map.knn
-    have5 = nvalid[:, k - 1] & (d2[:, k - 1] < cfg.solver.thres_dist)
+    have5 = nvalid[:, k - 1] & (d2[:, k - 1] < thres_dist)
 
     c = jnp.mean(nbr, axis=1)
     dev = nbr - c[:, None, :]
     cov = jnp.einsum("kij,kil->kjl", dev, dev) / k
-    evals, evecs = jnp.linalg.eigh(cov)          # ascending
-    u = evecs[..., 2]                            # principal direction
+    evals = linalg3.eigvalsh3(cov)               # ascending, closed form
+    u = linalg3.principal_eigvec3(cov, evals)
     line_like = evals[:, 2] > 3.0 * evals[:, 1]
 
     # reference gate: association-time geometric error must be > 1e-5
@@ -132,7 +133,7 @@ def associate_planes(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
     # solve A x = -1 via 3x3 normal equations (A is kx3 of neighbors)
     AtA = jnp.einsum("kij,kil->kjl", nbr, nbr)
     Atb = -jnp.sum(nbr, axis=1)
-    x = jnp.linalg.solve(AtA + 1e-8 * jnp.eye(3, dtype=pw.dtype), Atb[..., None])[..., 0]
+    x = linalg3.solve3(AtA, Atb)
     ps = jnp.maximum(jnp.linalg.norm(x, axis=-1), 1e-9)
     omega = x / ps[:, None]                       # unit normal
     pd = 1.0 / ps                                 # plane offset (normalized d)
@@ -163,7 +164,7 @@ def localizability(normals, valid, cfg):
     """
     m = valid.astype(normals.dtype)
     NtN = jnp.einsum("ki,kj->ij", normals * m[:, None], normals * m[:, None])
-    evals = jnp.linalg.eigvalsh(NtN)
+    evals = linalg3.eigvalsh3(NtN)
     sv_min = jnp.sqrt(jnp.maximum(evals[0], 0.0))
     n = jnp.sum(valid)
     too_few = n <= cfg.solver.min_plane_normals

@@ -154,12 +154,15 @@ class SolveResult(NamedTuple):
 
 
 def lm_solve(x0, ltgts, ptgts, preint, pair_valid, prior, frame_valid,
-             gravity, Rbl, tbl, cfg, max_iters: int, huber_delta=None):
+             gravity, Rbl, tbl, cfg, max_iters: int, huber_delta=None,
+             skip=None):
     """Levenberg-Marquardt over the window with fixed associations.
 
     Matches the reference's inner Ceres solve (up to `max_iters` dogleg
     steps, Estimator.cpp:1428).  Associations (ltgts/ptgts) stay fixed,
     exactly like the cached vLineFeatures/vPlanFeatures (:1304-1374).
+    `skip` (traced bool) pre-sets the loop's done flag so the whole solve
+    is a no-op — cheaper for the compiler than wrapping in lax.cond.
     """
     W = x0.shape[0]
 
@@ -199,9 +202,10 @@ def lm_solve(x0, ltgts, ptgts, preint, pair_valid, prior, frame_valid,
         return (it < max_iters) & ~done
 
     init_cost = cost_at(x0)
+    done0 = jnp.asarray(False) if skip is None else skip
     x, lam, cost, it, done = jax.lax.while_loop(
         cond, body, (x0, jnp.asarray(1e-4, x0.dtype), init_cost,
-                     jnp.int32(0), jnp.asarray(False)))
+                     jnp.int32(0), done0))
     return SolveResult(x=x, cost=cost, iters=it, converged=done)
 
 

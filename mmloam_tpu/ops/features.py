@@ -54,42 +54,47 @@ def _segment_pass(order, curv, depth, angle, reflect, flat_th_sq, curv_half,
     flat, 3 flat candidate, 300 reflectivity pick.
     """
     S = order.shape[0]
+    iota = jnp.arange(S, dtype=jnp.int32)
+
+    # One-hot vector selects instead of dynamic-index scatters: random
+    # scatters route through the TPU scalar path and dominated the profile;
+    # a (S,)-lane select is a couple of fused VPU ops (S <= ~21).  Kept as
+    # rolled lax.scans — full unrolling blows up compile time.
+    def sel_at(flags, pos):
+        return jnp.sum(jnp.where(iota == pos, flags, 0))
 
     def body_a(flags, pos):
         # flag==0 gate, then candidate test and neighbor suppression
-        is_free = flags[pos] == 0
-        is_cand = is_free & (curv[pos] < flat_th_sq[pos])
-        flags = flags.at[pos].set(jnp.where(is_cand, 3, flags[pos]))
+        fpos = sel_at(flags, pos)
+        is_cand = (fpos == 0) & (sel_at(curv, pos) < sel_at(flat_th_sq, pos))
+        flags = jnp.where((iota == pos) & is_cand, 3, flags)
         # mark up to 3 neighbors each side while the inter-point gap stays
         # small and the point is not faraway (:492-517)
-        half = curv_half[pos]
-
-        def mark(flags, l):
-            ok_r = (l <= half) & is_cand & gap_ok_r[pos, l - 1]
-            ok_l = (l <= half) & is_cand & gap_ok_l[pos, l - 1]
-            pr = jnp.clip(pos + l, 0, S - 1)
-            pl = jnp.clip(pos - l, 0, S - 1)
-            flags = flags.at[pr].set(jnp.where(ok_r & (flags[pr] == 0), 1, flags[pr]))
-            flags = flags.at[pl].set(jnp.where(ok_l & (flags[pl] == 0), 1, flags[pl]))
-            return flags
-
+        half = sel_at(curv_half, pos)
         for l in (1, 2, 3):
-            flags = mark(flags, l)
+            ok_r = (l <= half) & is_cand & \
+                (sel_at(gap_ok_r[:, l - 1].astype(jnp.int32), pos) == 1)
+            ok_l = (l <= half) & is_cand & \
+                (sel_at(gap_ok_l[:, l - 1].astype(jnp.int32), pos) == 1)
+            flags = jnp.where((iota == pos + l) & ok_r & (flags == 0), 1, flags)
+            flags = jnp.where((iota == pos - l) & ok_l & (flags == 0), 1, flags)
         return flags, None
 
     flags0 = jnp.zeros((S,), jnp.int32)
     flags, _ = jax.lax.scan(body_a, flags0, order)
 
     def body_b(carry, pos):
-        flags, picked, rpicked = carry
+        flags, picked = carry
         # flat selection (:521-531)
-        sel = ((flags[pos] == 3) & (picked <= th_num_flat)) | \
-              ((flags[pos] == 3) & (depth[pos] > 50.0)) | (angle[pos] == 1)
+        fpos = sel_at(flags, pos)
+        sel = ((fpos == 3) & (picked <= th_num_flat)) | \
+              ((fpos == 3) & (sel_at(depth, pos) > 50.0)) | \
+              (sel_at(angle, pos) == 1)
         picked = picked + jnp.where(sel, 1, 0)  # increments on any pick (:526)
-        flags = flags.at[pos].set(jnp.where(sel, 2, flags[pos]))
-        return (flags, picked, rpicked), None
+        flags = jnp.where((iota == pos) & sel, 2, flags)
+        return (flags, picked), None
 
-    (flags, _, _), _ = jax.lax.scan(body_b, (flags, jnp.int32(1), jnp.int32(1)), order)
+    (flags, _), _ = jax.lax.scan(body_b, (flags, jnp.int32(1)), order)
 
     # reflectivity picks (:533-538): up to 3 per segment, reflect-ascending
     rorder = jnp.argsort(jnp.where(jnp.isfinite(reflect), reflect, BIG),
@@ -97,9 +102,10 @@ def _segment_pass(order, curv, depth, angle, reflect, flat_th_sq, curv_half,
 
     def body_c(carry, pos):
         flags, rpicked = carry
-        sel = (curv[pos] < 0.7 * flat_th_sq[pos]) & (rpicked <= 3) & (reflect[pos] > 20.0)
+        sel = (sel_at(curv, pos) < 0.7 * sel_at(flat_th_sq, pos)) & \
+              (rpicked <= 3) & (sel_at(reflect, pos) > 20.0)
         rpicked = rpicked + jnp.where(sel, 1, 0)
-        flags = flags.at[pos].set(jnp.where(sel, 300, flags[pos]))
+        flags = jnp.where((iota == pos) & sel, 300, flags)
         return (flags, rpicked), None
 
     (flags, _), _ = jax.lax.scan(body_c, (flags, jnp.int32(1)), rorder)

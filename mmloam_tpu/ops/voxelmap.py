@@ -13,17 +13,22 @@ Design here (no trees, no scrolling copies):
     has exactly one point (the centroid) per leaf.
   * Cells are addressed modulo the grid dims (a 3-D torus).  Two voxels
     collide only when they are `dim * voxel_size` apart (~100 m at the
-    defaults), far beyond matching range; the cell stores the packed
-    quotient of its true voxel coordinate, so stale cells from a previous
+    defaults), far beyond matching range; the cell stores its true voxel
+    coordinate's per-axis period quotient, so stale cells from a previous
     pass of the torus are detected at query time and overwritten at insert
     time.  This reproduces `MapMove`'s drop-far-cubes semantics with zero
     data movement.
-  * Insert is a masked scatter-add of (point - voxel corner) plus a count;
-    the centroid is reconstructed as `corner + sum/count`.  Accumulating
-    corner-relative sums keeps f32 exact regardless of world coordinates.
-  * k-NN is a gather over the 3x3x3 stencil of neighboring cells followed
-    by a top-k over (masked) centroid distances — fixed shape, fully
-    vmappable, replaces `KdTreeFLANN::nearestKSearch`.
+  * The per-cell payload lives in ONE (C, 8) f32 row
+    [sum_x, sum_y, sum_z, count, key, pad...]: the k-NN stencil gather
+    fetches one vector-width row per candidate cell instead of several
+    scalar gathers (random gathers run on the TPU sparse core / scalar
+    path, so bytes-per-index is the throughput lever).  The key is the
+    packed quotient, biased into [0, 2^18) so it is exact in f32
+    (empty = -1); coverage is +-32 torus periods (~3 km at defaults) before
+    quotients saturate.
+  * Insert is a masked scatter-add of (point - voxel corner, 1); centroids
+    are reconstructed as `corner + sum/count`.  Corner-relative sums keep
+    f32 exact regardless of world coordinates.
 
 The reference's triple-buffered map snapshots (Map_Manager.cpp:132-146,
 Estimator.cpp:1170-1184) existed to let matching run against a consistent
@@ -38,26 +43,32 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-# packed-quotient sentinel for "empty cell" (static int: also used as a
-# scatter fill_value, which must be hashable)
-_EMPTY = 0x7FFFFFFF
+_EMPTY_KEY = -1.0
+_PAY = 8       # payload floats per cell
 
 
 class VoxelMap(NamedTuple):
     """One feature class's map (corner, surf, or non-feature)."""
 
-    sum_rel: jnp.ndarray   # (C, 3) f32 — sum of (p - voxel corner) per cell
-    count: jnp.ndarray     # (C,)  f32 — number of points accumulated
-    key: jnp.ndarray       # (C,)  i32 — packed voxel-coordinate quotient
+    cells: jnp.ndarray   # (C, 8) f32 rows [sum_xyz, count, key, pad]
+
+    @property
+    def sum_rel(self):
+        return self.cells[:, 0:3]
+
+    @property
+    def count(self):
+        return self.cells[:, 3]
+
+    @property
+    def key(self):
+        return self.cells[:, 4]
 
 
 def empty_map(cfg) -> VoxelMap:
     c = cfg.dim_x * cfg.dim_y * cfg.dim_z
-    return VoxelMap(
-        sum_rel=jnp.zeros((c, 3), jnp.float32),
-        count=jnp.zeros((c,), jnp.float32),
-        key=jnp.full((c,), _EMPTY, jnp.int32),
-    )
+    cells = jnp.zeros((c, _PAY), jnp.float32).at[:, 4].set(_EMPTY_KEY)
+    return VoxelMap(cells=cells)
 
 
 def _voxel_coords(pts, cfg):
@@ -66,19 +77,15 @@ def _voxel_coords(pts, cfg):
 
 
 def _slot_and_key(v, cfg):
-    """Torus slot index and packed quotient key for voxel coords v (..., 3).
-
-    slot = (v mod dims) flattened; key packs the per-axis quotients
-    (10/10/12 bits, biased) so aliased voxels a full torus period apart
-    get distinct keys.
-    """
+    """Torus slot index and packed-quotient key (exact in f32) for voxel
+    coords v (..., 3)."""
     dx, dy, dz = cfg.dim_x, cfg.dim_y, cfg.dim_z
     mx, my, mz = v[..., 0] % dx, v[..., 1] % dy, v[..., 2] % dz
     slot = (mx * dy + my) * dz + mz
-    qx = (v[..., 0] - mx) // dx + 512
-    qy = (v[..., 1] - my) // dy + 512
-    qz = (v[..., 2] - mz) // dz + 2048
-    key = (qx << 22) | (qy << 12) | qz
+    qx = jnp.clip((v[..., 0] - mx) // dx + 32, 0, 63)
+    qy = jnp.clip((v[..., 1] - my) // dy + 32, 0, 63)
+    qz = jnp.clip((v[..., 2] - mz) // dz + 32, 0, 63)
+    key = ((qx << 12) | (qy << 6) | qz).astype(jnp.float32)
     return slot, key
 
 
@@ -86,30 +93,31 @@ def insert(vm: VoxelMap, pts, mask, cfg) -> VoxelMap:
     """Masked scatter of world-frame points into the map.
 
     Cells whose stored key differs from the incoming one (stale aliases
-    from a previous torus pass) are reset before accumulation —
+    from a previous torus pass, or empty) are reset before accumulation —
     the MapMove-equivalent eviction.  Within one batch all points hitting
     a slot share a key (they would have to be a torus period apart to
     differ, beyond lidar range), so the reset scatter is idempotent.
     """
-    pts = pts.astype(vm.sum_rel.dtype)
+    pts = pts.astype(vm.cells.dtype)
     v = _voxel_coords(pts, cfg)
     slot, key = _slot_and_key(v, cfg)
-    c = vm.count.shape[0]
-    maskf = mask.astype(jnp.float32)
+    c = vm.cells.shape[0]
+    maskf = mask.astype(vm.cells.dtype)
     # masked-out points scatter out of bounds and are dropped
     slot = jnp.where(mask, slot, c)
 
-    stale = (vm.key.at[slot].get(mode="fill", fill_value=_EMPTY) != key) & mask
+    stored_key = vm.cells.at[slot, 4].get(mode="fill", fill_value=_EMPTY_KEY)
+    stale = (stored_key != key) & mask
     reset_slot = jnp.where(stale, slot, c)
-    # reset pass (idempotent): zero stats, then claim key
-    count = vm.count.at[reset_slot].set(0.0, mode="drop")
-    sum_rel = vm.sum_rel.at[reset_slot].set(0.0, mode="drop")
-    keys = vm.key.at[slot].set(key, mode="drop")
+    cells = vm.cells.at[reset_slot].set(0.0, mode="drop")
+    cells = cells.at[slot, 4].set(key, mode="drop")
 
     rel = pts - v.astype(pts.dtype) * cfg.voxel_size
-    sum_rel = sum_rel.at[slot].add(rel * maskf[:, None], mode="drop")
-    count = count.at[slot].add(maskf, mode="drop")
-    return VoxelMap(sum_rel=sum_rel, count=count, key=keys)
+    payload = jnp.concatenate(
+        [rel * maskf[:, None], maskf[:, None],
+         jnp.zeros((pts.shape[0], _PAY - 4), pts.dtype)], axis=-1)
+    cells = cells.at[slot].add(payload, mode="drop")
+    return VoxelMap(cells=cells)
 
 
 def _stencil_offsets(cfg):
@@ -132,10 +140,11 @@ def query_knn(vm: VoxelMap, q, mask, cfg):
     v = _voxel_coords(q, cfg)                              # (M,3)
     cells = v[:, None, :] + off[None, :, :]                # (M,S,3)
     slot, key = _slot_and_key(cells, cfg)                  # (M,S)
-    cnt = vm.count[slot]                                   # (M,S)
-    ok = (vm.key[slot] == key) & (cnt > 0) & mask[:, None]
+    rows = vm.cells[slot]                                  # (M,S,8) one gather
+    cnt = rows[..., 3]
+    ok = (rows[..., 4] == key) & (cnt > 0) & mask[:, None]
     corner = cells.astype(q.dtype) * cfg.voxel_size
-    centroid = corner + vm.sum_rel[slot] / jnp.maximum(cnt, 1.0)[..., None]
+    centroid = corner + rows[..., 0:3] / jnp.maximum(cnt, 1.0)[..., None]
     d2 = jnp.sum((q[:, None, :] - centroid) ** 2, axis=-1)
     d2 = jnp.where(ok, d2, jnp.inf)
     neg, idx = jax.lax.top_k(-d2, cfg.knn)                 # (M,K)
@@ -156,11 +165,13 @@ def cell_centroids(vm: VoxelMap, cfg):
     mz = idx % dz
     my = (idx // dz) % dy
     mx = idx // (dz * dy)
-    qz = (vm.key & 0xFFF) - 2048
-    qy = ((vm.key >> 12) & 0x3FF) - 512
-    qx = (vm.key >> 22) - 512
+    keyi = vm.cells[:, 4].astype(jnp.int32)
+    qz = (keyi & 63) - 32
+    qy = ((keyi >> 6) & 63) - 32
+    qx = ((keyi >> 12) & 63) - 32
     v = jnp.stack([qx * dx + mx, qy * dy + my, qz * dz + mz], axis=-1)
-    valid = (vm.key != _EMPTY) & (vm.count > 0)
+    cnt = vm.cells[:, 3]
+    valid = (vm.cells[:, 4] >= 0) & (cnt > 0)
     centroid = (v.astype(jnp.float32) * cfg.voxel_size
-                + vm.sum_rel / jnp.maximum(vm.count, 1.0)[:, None])
+                + vm.cells[:, 0:3] / jnp.maximum(cnt, 1.0)[:, None])
     return centroid, valid

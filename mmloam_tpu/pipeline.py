@@ -41,7 +41,14 @@ KF_EVERY = 3      # keyframe cadence (veloPushCount, :947-960)
 
 
 class ScanInput(NamedTuple):
-    """One decoded scan (ring-organized, padded) + its IMU interval."""
+    """One decoded scan (ring-organized, padded) + its IMU interval.
+
+    The optional hori_* block carries the time-aligned Livox Horizon sweep
+    for the same interval (already expressed in the Velodyne lidar frame by
+    the aligner's extrinsic, unionFeatureExtract.cpp:312); leave the fields
+    as None for velodyne-only datasets — None pytree leaves vanish, so the
+    traced program contains no Horizon compute at all.
+    """
 
     pts: jnp.ndarray        # (L, N, 3) lidar frame, skewed
     intensity: jnp.ndarray  # (L, N)
@@ -52,6 +59,10 @@ class ScanInput(NamedTuple):
     imu_gyr: jnp.ndarray    # (M, 3) rad/s
     imu_dt: jnp.ndarray     # (M,) delta since previous sample
     imu_mask: jnp.ndarray   # (M,)
+    hori_pts: jnp.ndarray = None        # (Lh, Nh, 3)
+    hori_intensity: jnp.ndarray = None  # (Lh, Nh)
+    hori_n_valid: jnp.ndarray = None    # (Lh,)
+    hori_rel_time: jnp.ndarray = None   # (Lh, Nh)
 
 
 class StepOutput(NamedTuple):
@@ -64,6 +75,8 @@ class StepOutput(NamedTuple):
     inited: jnp.ndarray
     n_corner: jnp.ndarray
     n_surf: jnp.ndarray
+    fast_rotation: jnp.ndarray  # () suppress cloud publishing (:905-917)
+    hori_merged: jnp.ndarray    # () Horizon fused into this frame
 
 
 class LIOState(NamedTuple):
@@ -189,16 +202,15 @@ class FrameStack(NamedTuple):
     surf_mask: jnp.ndarray
 
 
-def _build_stacks(pts_ds, labels, valid, cfg, dtype):
+def _build_stacks(flat_pts, flat_labels, flat_valid, cfg, dtype):
     """Label split + voxel downsample into one frame's fixed stacks."""
     sc = cfg.scan
-    flat = pts_ds.reshape(-1, 3)
-    lab = labels.reshape(-1)
-    vmask = valid.reshape(-1)
     corner, cmask, _ = downsample.voxel_downsample(
-        flat, vmask & (lab == 1), sc.filter_corner, sc.max_corner)
+        flat_pts, flat_valid & (flat_labels == 1), sc.filter_corner,
+        sc.max_corner)
     surf, smask, _ = downsample.voxel_downsample(
-        flat, vmask & (lab == 2), sc.filter_surf, sc.max_surf)
+        flat_pts, flat_valid & (flat_labels == 2), sc.filter_surf,
+        sc.max_surf)
     return FrameStack(corner=corner.astype(dtype), corner_mask=cmask,
                       surf=surf.astype(dtype), surf_mask=smask)
 
@@ -219,6 +231,8 @@ class PreparedFrame(NamedTuple):
     p_prev: jnp.ndarray
     have_prev: jnp.ndarray
     fstack: "FrameStack"     # this scan's downsampled stacks
+    fast_rotation: jnp.ndarray  # () |yaw rate| > velo_rotate_th (:766)
+    hori_merged: jnp.ndarray    # () Horizon points merged this scan (:751)
 
 
 def prepare_frame(state: LIOState, scan: ScanInput, cfg) -> PreparedFrame:
@@ -229,6 +243,26 @@ def prepare_frame(state: LIOState, scan: ScanInput, cfg) -> PreparedFrame:
     labels = features.extract_scan_features(scan.pts, scan.intensity,
                                             scan.n_valid, cfg)
     ring_valid = jnp.arange(scan.pts.shape[1])[None, :] < scan.n_valid[:, None]
+
+    use_hori = (scan.hori_pts is not None) and not cfg.velo_only_mode
+    if use_hori:
+        hlabels = features.extract_scan_features(
+            scan.hori_pts, scan.hori_intensity, scan.hori_n_valid, cfg)
+        h_valid = (jnp.arange(scan.hori_pts.shape[1])[None, :]
+                   < scan.hori_n_valid[:, None])
+
+    # rotation gates from the interval's first/last gyro sample (:746-766)
+    gz = scan.imu_gyr[:, 2]
+    n_imu = jnp.sum(scan.imu_mask.astype(jnp.int32))
+    gz0 = gz[0]
+    gzN = gz[jnp.maximum(n_imu - 1, 0)]
+    have_imu = n_imu > 0
+    slow_rotation = have_imu & (
+        (jnp.abs(gz0) < cfg.failsafe.hori_rotate_th)
+        | (jnp.abs(gzN) < cfg.failsafe.hori_rotate_th))
+    fast_rotation = have_imu & (
+        (jnp.abs(gz0) > cfg.failsafe.velo_rotate_th)
+        | (jnp.abs(gzN) > cfg.failsafe.velo_rotate_th))
 
     # ---- 2. prediction ----------------------------------------------
     x_prev = state.x[-1]
@@ -275,11 +309,27 @@ def prepare_frame(state: LIOState, scan: ScanInput, cfg) -> PreparedFrame:
 
     flat_pts = scan.pts.reshape(-1, 3).astype(dtype)
     flat_rel = scan.rel_time.reshape(-1).astype(dtype)
+    flat_lab = labels.reshape(-1)
+    flat_ok = ring_valid.reshape(-1)
+    hori_merged = jnp.asarray(False)
+    if use_hori:
+        # Horizon merge: slow rotation + enough livox corners
+        # (`*laserCloudFullVeloRes += *laserCloudFullHoriRes`, :746-757)
+        h_corner_cnt = jnp.sum((hlabels == 1) & h_valid)
+        hori_merged = slow_rotation & (
+            h_corner_cnt > cfg.solver.corner_cnt_gate_hori)
+        flat_pts = jnp.concatenate(
+            [flat_pts, scan.hori_pts.reshape(-1, 3).astype(dtype)])
+        flat_rel = jnp.concatenate(
+            [flat_rel, scan.hori_rel_time.reshape(-1).astype(dtype)])
+        flat_lab = jnp.concatenate([flat_lab, hlabels.reshape(-1)])
+        flat_ok = jnp.concatenate([flat_ok,
+                                   h_valid.reshape(-1) & hori_merged])
+
     pts_ds = undistort.undistort(flat_pts, flat_rel, dq_l, dt_l)
-    pts_ds = pts_ds.reshape(scan.pts.shape)
 
     # ---- 4. stacks ----------------------------------------------------
-    fstack = _build_stacks(pts_ds, labels, ring_valid, cfg, dtype)
+    fstack = _build_stacks(pts_ds, flat_lab, flat_ok, cfg, dtype)
 
     # ---- 5. window push ----------------------------------------------
     new_preint = dict(dq=pre.dq.astype(dtype), dp=pre.dp.astype(dtype),
@@ -320,7 +370,8 @@ def prepare_frame(state: LIOState, scan: ScanInput, cfg) -> PreparedFrame:
                          pv_w=pv_w, prior_w=prior_w,
                          q_wl_pred=q_wl_pred, p_wl_pred=p_wl_pred,
                          q_prev=q_prev, p_prev=p_prev, have_prev=have_prev,
-                         fstack=fstack)
+                         fstack=fstack, fast_rotation=fast_rotation,
+                         hori_merged=hori_merged)
 
 
 def step(state: LIOState, scan: ScanInput, cfg):
@@ -342,15 +393,12 @@ def step(state: LIOState, scan: ScanInput, cfg):
     # (EstimateLidarPose gate :1030-1035)
     can_estimate = state.map_has_data
 
-    def run_est(full_mode):
+    def est_branch(_):
+        # `full` is traced data — the unified estimate handles both regimes
         return est.estimate(
             x_w, stacks_w, state.vm_corner, state.vm_surf, preint_w, pv_w,
             prior_w, fv_w, state.gravity, state.Rbl, state.tbl, cfg,
-            full_window=full_mode, do_marginalize=full_mode)
-
-    def est_branch(_):
-        return jax.lax.cond(full, lambda __: run_est(True),
-                            lambda __: run_est(False), None)
+            full_window=full)
 
     def skip_branch(_):
         return est.EstimateResult(
@@ -359,12 +407,8 @@ def step(state: LIOState, scan: ScanInput, cfg):
             n_line=jnp.int32(0), n_plane=jnp.int32(0))
 
     res = jax.lax.cond(can_estimate, est_branch, skip_branch, None)
-
-    # full-window marginalization happened inside estimate; keep the prior
-    # only when it ran
-    prior_next = jax.tree.map(
-        lambda new, old: jnp.where(full & can_estimate, new, old),
-        res.prior, prior_w)
+    # marginalization gating happened inside estimate
+    prior_next = res.prior
 
     # ---- 7. acceptance gates (EstimateLidarPose :1041-1067) -----------
     corner_cnt = jnp.sum(jnp.where(fv_w[:, None], stacks_w.corner_mask, False))
@@ -423,7 +467,9 @@ def step(state: LIOState, scan: ScanInput, cfg):
                      n_corner=corner_cnt.astype(jnp.int32),
                      n_surf=jnp.sum(jnp.where(fv_w[:, None],
                                               stacks_w.surf_mask, False)
-                                    ).astype(jnp.int32))
+                                    ).astype(jnp.int32),
+                     fast_rotation=pf.fast_rotation,
+                     hori_merged=pf.hori_merged)
     return new_state, out
 
 

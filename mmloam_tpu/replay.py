@@ -16,17 +16,29 @@ from . import lie, pipeline
 from .data import synthetic
 
 
+def _hori_dirs(n_az):
+    """Livox-Horizon-like raster: 81.7 x 25.1 deg FOV, 6 lines."""
+    el = np.deg2rad(np.linspace(-12.55, 12.55, 6))
+    az = np.deg2rad(np.linspace(-40.85, 40.85, n_az))
+    ca, sa = np.cos(az), np.sin(az)
+    ce, se = np.cos(el), np.sin(el)
+    return np.stack([ce[:, None] * ca[None, :],
+                     ce[:, None] * sa[None, :],
+                     np.broadcast_to(se[:, None], (6, n_az))], axis=-1)
+
+
 def make_sequence(world, traj, t0, n_scans, cfg, scan_hz=10.0, imu_rate=200.0,
                   range_noise=0.0, imu_noise=(0.0, 0.0), bg=(0, 0, 0),
                   ba=(0, 0, 0), g_vec=None, n_az=900, seed=0,
-                  dtype=np.float32):
+                  dtype=np.float32, with_hori=False, hori_n_az=None):
     """Build a stacked ScanInput pytree of `n_scans` scans + ground truth.
 
     Scan i spans (t_{i-1}, t_i] with stamp t_i = t0 + (i+1)/scan_hz, points
     sampled at per-azimuth times (motion-skewed, like a real spinning
     lidar); the IMU window covers the same interval — matching the
     reference's fetchImuMsgs windows (unionPoseEstimation.cpp:307-395).
-    Ground truth is the lidar pose at each stamp.
+    Ground truth is the lidar pose at each stamp.  `with_hori` adds a
+    time-aligned Livox-Horizon-like sweep (identity extrinsic).
     """
     rng = np.random.default_rng(seed)
     period = 1.0 / scan_hz
@@ -40,6 +52,9 @@ def make_sequence(world, traj, t0, n_scans, cfg, scan_hz=10.0, imu_rate=200.0,
     dirs_l = np.stack([ce[:, None] * ca[None, :],
                        ce[:, None] * sa[None, :],
                        np.broadcast_to(se[:, None], (L, n_az))], axis=-1)
+    if with_hori:
+        h_az = hori_n_az or (cfg.scan.hori_max_pts_per_line)
+        dirs_h = _hori_dirs(h_az)
 
     scans = []
     gt = []
@@ -81,12 +96,44 @@ def make_sequence(world, traj, t0, n_scans, cfg, scan_hz=10.0, imu_rate=200.0,
         imu_dt = np.zeros(M); imu_dt[:m] = dts[:M]
         imu_mask = np.arange(M) < min(m, M)
 
+        hori = {}
+        if with_hori:
+            # Horizon points at per-column times over the same interval
+            th_az = ts_start + (np.arange(dirs_h.shape[1]) + 0.5) \
+                / dirs_h.shape[1] * period
+            Rh = traj.rot(th_az)
+            ph = traj.pos(th_az)
+            dw_h = np.einsum("aij,laj->lai", Rh, dirs_h)
+            org_h = np.broadcast_to(ph[None], (6,) + ph.shape)
+            rh = world.raycast(org_h.reshape(-1, 3), dw_h.reshape(-1, 3))
+            rh = rh.reshape(dirs_h.shape[:2])
+            hval = np.isfinite(rh)
+            if range_noise > 0:
+                rh = rh + np.where(hval, rng.normal(0, range_noise, rh.shape),
+                                   0.0)
+            hpts = dirs_h * np.where(hval, rh, 0.0)[..., None]
+            hrel = np.broadcast_to(
+                (np.arange(dirs_h.shape[1]) + 0.5) / dirs_h.shape[1],
+                dirs_h.shape[:2])
+            Lh, Nh = dirs_h.shape[:2]
+            hp_c = np.zeros((Lh, Nh, 3))
+            hr_c = np.zeros((Lh, Nh))
+            hn = hval.sum(axis=1).astype(np.int32)
+            for l in range(Lh):
+                sel = np.where(hval[l])[0]
+                hp_c[l, :len(sel)] = hpts[l, sel]
+                hr_c[l, :len(sel)] = hrel[l, sel]
+            hori = dict(hori_pts=hp_c.astype(dtype),
+                        hori_intensity=np.zeros((Lh, Nh), dtype),
+                        hori_n_valid=hn,
+                        hori_rel_time=hr_c.astype(dtype))
+
         scans.append(pipeline.ScanInput(
             pts=pts_c.astype(dtype), intensity=np.zeros((L, n_az), dtype),
             n_valid=n_val, rel_time=rel_c.astype(dtype),
             t=np.asarray(ts_end, dtype),
             imu_acc=imu_acc.astype(dtype), imu_gyr=imu_gyr.astype(dtype),
-            imu_dt=imu_dt.astype(dtype), imu_mask=imu_mask))
+            imu_dt=imu_dt.astype(dtype), imu_mask=imu_mask, **hori))
         gt.append((traj.rot(ts_end), traj.pos(ts_end)))
 
     stacked = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *scans)
@@ -95,15 +142,25 @@ def make_sequence(world, traj, t0, n_scans, cfg, scan_hz=10.0, imu_rate=200.0,
     return stacked, gt_R, gt_p
 
 
+_RUNNERS = {}
+
+
+def _runner(cfg):
+    """One cached jitted scan-driver per config (re-jitting per call costs
+    a full retrace of the step program)."""
+    if cfg not in _RUNNERS:
+        @jax.jit
+        def run(state, scans):
+            return jax.lax.scan(lambda s, sc: pipeline.step(s, sc, cfg),
+                                state, scans)
+
+        _RUNNERS[cfg] = run
+    return _RUNNERS[cfg]
+
+
 def replay(state, scans, cfg):
     """lax.scan the pipeline over a stacked ScanInput sequence (jitted)."""
-
-    @jax.jit
-    def run(state, scans):
-        return jax.lax.scan(lambda s, sc: pipeline.step(s, sc, cfg),
-                            state, scans)
-
-    return run(state, scans)
+    return _runner(cfg)(state, scans)
 
 
 def ate_rmse(est_q, est_p, gt_R, gt_p):
