@@ -42,28 +42,19 @@ def main(batch=16, n_scans=30, warmup=5, seed0=None):
                                            range_noise=0.003,
                                            dtype=np.float32)
         seqs.append(scans)
-    batch_scans = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *seqs)
-    # shape now (n_scans, batch, ...)
-
-    state0 = pipeline.init_state(cfg)
-    batch_state = jax.tree.map(
-        lambda a: jnp.broadcast_to(a, (batch,) + a.shape).copy(), state0)
-
-    @jax.jit
-    def run(bs, scans):
-        def one(bs, sc):
-            return jax.vmap(lambda s, x: pipeline.step(s, x, cfg))(bs, sc)
-        return jax.lax.scan(one, bs, scans)
+    batch_scans = replay.stack_sequences(seqs)   # (n_scans, batch, ...)
+    batch_state = replay.stack_states(
+        [pipeline.init_state(cfg) for _ in range(batch)])
 
     # compile warmup on the full shape, then time on perturbed inputs so an
     # execution-result cache cannot serve the timed run.  np.asarray (full
     # device->host materialization) is the completion barrier — on tunneled
     # TPU backends block_until_ready alone under-reports.
-    st, outs = run(batch_state, batch_scans)
+    st, outs = replay.replay_batch(batch_state, batch_scans, cfg)
     np.asarray(outs.pose_p)
     timed = batch_scans._replace(pts=batch_scans.pts + np.float32(1e-5))
     t0 = time.perf_counter()
-    st, outs = run(batch_state, timed)
+    st, outs = replay.replay_batch(batch_state, timed, cfg)
     np.asarray(outs.pose_p)
     dt = time.perf_counter() - t0
 

@@ -144,6 +144,14 @@ class LIOConfig:
     failsafe: FailsafeConfig = FailsafeConfig()
     velo_only_mode: bool = False     # reference: Velo_Only_Mode rosparam
     imu_mode: int = 2                # 0: none, 1: gyro predict, 2: tightly coupled
+    # Non-feature ICP path (Estimator::processNonFeatureICP +
+    # Cost_NonFeature_ICP, ceresfunc.h:573-622).  The shipped reference
+    # never labels non-feature points (unionFeatureExtract.cpp assigns only
+    # 1/2) and has the factors commented out of the solve
+    # (Estimator.cpp:1290-1296), so this defaults off; enabling it labels
+    # residual unclassified points, maintains the non-feature map, and adds
+    # 1-dim point-to-plane factors.
+    use_nonfeature: bool = False
 
     def replace(self, **kw) -> "LIOConfig":
         return dataclasses.replace(self, **kw)

@@ -33,12 +33,19 @@ _HUBER_OFF = 1e12   # Huber with an unreachable delta == no robust loss
 
 
 class Stacks(NamedTuple):
-    """Downsampled per-frame feature stacks in the lidar frame."""
+    """Downsampled per-frame feature stacks in the lidar frame.
+
+    The non-feature block is optional (None unless cfg.use_nonfeature) —
+    residual unclassified points matched against the non-feature map with
+    1-dim plane factors (processNonFeatureICP, Estimator.cpp:780-935).
+    """
 
     corner: jnp.ndarray       # (W, Kc, 3)
     corner_mask: jnp.ndarray  # (W, Kc)
     surf: jnp.ndarray         # (W, Ks, 3)
     surf_mask: jnp.ndarray    # (W, Ks)
+    non: jnp.ndarray = None        # (W, Kn, 3)
+    non_mask: jnp.ndarray = None   # (W, Kn)
 
 
 class EstimateResult(NamedTuple):
@@ -51,26 +58,44 @@ class EstimateResult(NamedTuple):
     n_plane: jnp.ndarray      # () valid plane factors
 
 
-def _associate_all(x, stacks: Stacks, vm_corner, vm_surf, Rbl, tbl, cfg,
-                   thres_dist, weight_tan, frame_valid):
-    """Build factor targets for every window frame (vmapped)."""
-    def one(x15, cpts, cmask, spts, smask, fv):
+def _associate_all(x, stacks: Stacks, vm_corner, vm_surf, vm_non, Rbl, tbl,
+                   cfg, thres_dist, weight_tan, frame_valid):
+    """Build factor targets for every window frame (vmapped).
+
+    Non-feature points (when present) become plane targets with zero
+    tangential weight — numerically identical to the reference's 1-dim
+    Cost_NonFeature_ICP (ceresfunc.h:573-622) — concatenated onto the surf
+    targets; their normals do NOT feed localizability (the reference
+    collects normals only in processPointToPlanVec, Estimator.cpp:675).
+    """
+    with_non = stacks.non is not None
+
+    def one(x15, cpts, cmask, spts, smask, fv, *non_args):
         lt = factors.associate_lines(x15[:6], cpts, cmask & fv, vm_corner,
                                      Rbl, tbl, cfg, thres_dist)
         pt, normals, nv = factors.associate_planes(
             x15[:6], spts, smask & fv, vm_surf, Rbl, tbl, cfg,
             thres_dist, weight_tan)
+        if with_non:
+            npts, nmask = non_args
+            ptn, _, _ = factors.associate_planes(
+                x15[:6], npts, nmask & fv, vm_non, Rbl, tbl, cfg,
+                thres_dist, 0.0)
+            pt = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0),
+                              pt, ptn)
         return lt, pt, normals, nv
 
-    lt, pt, normals, nv = jax.vmap(one)(
-        x, stacks.corner, stacks.corner_mask, stacks.surf, stacks.surf_mask,
-        frame_valid)
+    args = (x, stacks.corner, stacks.corner_mask, stacks.surf,
+            stacks.surf_mask, frame_valid)
+    if with_non:
+        args = args + (stacks.non, stacks.non_mask)
+    lt, pt, normals, nv = jax.vmap(one)(*args)
     return lt, pt, normals.reshape(-1, 3), nv.reshape(-1)
 
 
 def estimate(x0, stacks: Stacks, vm_corner, vm_surf, preint, pair_valid,
              prior: solver.Prior, frame_valid, gravity, Rbl, tbl, cfg,
-             full_window, do_marginalize=None):
+             full_window, do_marginalize=None, vm_non=None):
     """One scan's window optimization.  `full_window` is a traced bool.
 
     Returns EstimateResult; the prior is updated (marginalization) only
@@ -90,8 +115,8 @@ def estimate(x0, stacks: Stacks, vm_corner, vm_surf, preint, pair_valid,
     huber = jnp.where(full_window, _HUBER_OFF, s.huber_delta_scale).astype(dtype)
 
     lt0, pt0, normals0, nv0 = _associate_all(
-        x0, stacks, vm_corner, vm_surf, Rbl, tbl, cfg, sched[0], weight_tan,
-        frame_valid)
+        x0, stacks, vm_corner, vm_surf, vm_non, Rbl, tbl, cfg, sched[0],
+        weight_tan, frame_valid)
     deg0, fail0, sv0 = factors.localizability(normals0, nv0, cfg)
 
     def round_fn(carry, thres_i):
@@ -110,7 +135,7 @@ def estimate(x0, stacks: Stacks, vm_corner, vm_surf, preint, pair_valid,
         # targets — and skips the (expensive) map gathers entirely
         def reassociate(_):
             lt_n, pt_n, normals, nv = _associate_all(
-                x, stacks, vm_corner, vm_surf, Rbl, tbl, cfg,
+                x, stacks, vm_corner, vm_surf, vm_non, Rbl, tbl, cfg,
                 thres_i, weight_tan, frame_valid)
             deg_i, fail_i, sv_i = factors.localizability(normals, nv, cfg)
             return lt_n, pt_n, deg | deg_i, fail | fail_i, sv_i

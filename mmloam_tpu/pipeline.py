@@ -127,15 +127,22 @@ def _empty_preint(W, dtype):
 def init_state(cfg, Rbl=None, tbl=None, dtype=jnp.float32, kf_imu_cap=256):
     W = cfg.solver.window
     sc = cfg.scan
+    def make_stacks(n):
+        extra = {}
+        if cfg.use_nonfeature:
+            extra = dict(non=jnp.zeros((n, sc.max_nonfeature, 3), dtype),
+                         non_mask=jnp.zeros((n, sc.max_nonfeature), bool))
+        return est.Stacks(
+            corner=jnp.zeros((n, sc.max_corner, 3), dtype),
+            corner_mask=jnp.zeros((n, sc.max_corner), bool),
+            surf=jnp.zeros((n, sc.max_surf, 3), dtype),
+            surf_mask=jnp.zeros((n, sc.max_surf), bool), **extra)
+
     return LIOState(
         x=jnp.zeros((W, 15), dtype),
         t=jnp.zeros((W,), dtype),
         frame_valid=jnp.zeros((W,), bool),
-        stacks=est.Stacks(
-            corner=jnp.zeros((W, sc.max_corner, 3), dtype),
-            corner_mask=jnp.zeros((W, sc.max_corner), bool),
-            surf=jnp.zeros((W, sc.max_surf, 3), dtype),
-            surf_mask=jnp.zeros((W, sc.max_surf), bool)),
+        stacks=make_stacks(W),
         preint=_empty_preint(W, dtype),
         pair_valid=jnp.zeros((W,), bool),
         prior=solver.empty_prior(dtype),
@@ -150,11 +157,7 @@ def init_state(cfg, Rbl=None, tbl=None, dtype=jnp.float32, kf_imu_cap=256):
         dtb=jnp.zeros((3,), dtype),
         kf_x=jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 0], dtype), (N_KF, 1)),
         kf_t=jnp.zeros((N_KF,), dtype),
-        kf_stacks=est.Stacks(
-            corner=jnp.zeros((N_KF, sc.max_corner, 3), dtype),
-            corner_mask=jnp.zeros((N_KF, sc.max_corner), bool),
-            surf=jnp.zeros((N_KF, sc.max_surf, 3), dtype),
-            surf_mask=jnp.zeros((N_KF, sc.max_surf), bool)),
+        kf_stacks=make_stacks(N_KF),
         kf_imu=jnp.zeros((N_KF, kf_imu_cap, 7), dtype),
         kf_imu_mask=jnp.zeros((N_KF, kf_imu_cap), bool),
         kf_imu_n=jnp.zeros((N_KF,), jnp.int32),
@@ -185,11 +188,8 @@ def _shift_window(state: LIOState, new_x, new_t, new_stacks_frame, new_preint,
     x = roll1(state.x).at[-1].set(new_x)
     t = roll1(state.t).at[-1].set(new_t)
     fv = roll1(state.frame_valid).at[-1].set(True)
-    stacks = est.Stacks(
-        corner=roll1(state.stacks.corner).at[-1].set(new_stacks_frame.corner),
-        corner_mask=roll1(state.stacks.corner_mask).at[-1].set(new_stacks_frame.corner_mask),
-        surf=roll1(state.stacks.surf).at[-1].set(new_stacks_frame.surf),
-        surf_mask=roll1(state.stacks.surf_mask).at[-1].set(new_stacks_frame.surf_mask))
+    stacks = jax.tree.map(lambda a, new: roll1(a).at[-1].set(new),
+                          state.stacks, est.Stacks(*new_stacks_frame))
     preint = {k: roll1(v).at[-1].set(new_preint[k]) for k, v in state.preint.items()}
     pv = roll1(state.pair_valid).at[-1].set(new_pair_valid)
     return x, t, fv, stacks, preint, pv
@@ -200,6 +200,8 @@ class FrameStack(NamedTuple):
     corner_mask: jnp.ndarray
     surf: jnp.ndarray
     surf_mask: jnp.ndarray
+    non: jnp.ndarray = None
+    non_mask: jnp.ndarray = None
 
 
 def _build_stacks(flat_pts, flat_labels, flat_valid, cfg, dtype):
@@ -211,8 +213,16 @@ def _build_stacks(flat_pts, flat_labels, flat_valid, cfg, dtype):
     surf, smask, _ = downsample.voxel_downsample(
         flat_pts, flat_valid & (flat_labels == 2), sc.filter_surf,
         sc.max_surf)
+    extra = {}
+    if cfg.use_nonfeature:
+        # residual unclassified points (the reference's intended
+        # non-feature class; its extractor leaves these unlabeled)
+        non, nmask, _ = downsample.voxel_downsample(
+            flat_pts, flat_valid & (flat_labels == 0),
+            sc.filter_nonfeature, sc.max_nonfeature)
+        extra = dict(non=non.astype(dtype), non_mask=nmask)
     return FrameStack(corner=corner.astype(dtype), corner_mask=cmask,
-                      surf=surf.astype(dtype), surf_mask=smask)
+                      surf=surf.astype(dtype), surf_mask=smask, **extra)
 
 
 class PreparedFrame(NamedTuple):
@@ -355,9 +365,7 @@ def prepare_frame(state: LIOState, scan: ScanInput, cfg) -> PreparedFrame:
     stacks_w = jax.tree.map(
         lambda rolled, old, new: jnp.where(
             state.inited, rolled, single(old, new)),
-        stacks_s, est.Stacks(*state.stacks),
-        est.Stacks(corner=fstack.corner, corner_mask=fstack.corner_mask,
-                   surf=fstack.surf, surf_mask=fstack.surf_mask))
+        stacks_s, state.stacks, est.Stacks(*fstack))
     preint_w = {k: jnp.where(state.inited, preint_s[k],
                              jnp.zeros_like(state.preint[k]).at[-1].set(new_preint[k]))
                 for k in preint_s}
@@ -398,7 +406,7 @@ def step(state: LIOState, scan: ScanInput, cfg):
         return est.estimate(
             x_w, stacks_w, state.vm_corner, state.vm_surf, preint_w, pv_w,
             prior_w, fv_w, state.gravity, state.Rbl, state.tbl, cfg,
-            full_window=full)
+            full_window=full, vm_non=state.vm_non)
 
     def skip_branch(_):
         return est.EstimateResult(
@@ -437,6 +445,9 @@ def step(state: LIOState, scan: ScanInput, cfg):
 
     vm_corner = insert(state.vm_corner, front_stack.corner, front_stack.corner_mask)
     vm_surf = insert(state.vm_surf, front_stack.surf, front_stack.surf_mask)
+    vm_non = state.vm_non
+    if cfg.use_nonfeature:
+        vm_non = insert(state.vm_non, front_stack.non, front_stack.non_mask)
     last_map_pos = jnp.where(do_map, p_pub, state.last_map_pos)
     map_has_data = state.map_has_data | do_map
 
@@ -444,7 +455,7 @@ def step(state: LIOState, scan: ScanInput, cfg):
     new_state = state._replace(
         x=x_next, t=t_w, frame_valid=fv_w, stacks=est.Stacks(*stacks_w),
         preint=preint_w, pair_valid=pv_w, prior=prior_next,
-        vm_corner=vm_corner, vm_surf=vm_surf,
+        vm_corner=vm_corner, vm_surf=vm_surf, vm_non=vm_non,
         last_map_pos=last_map_pos, map_has_data=map_has_data,
         dqb=jnp.where(have_prev, lie.quat_mul(lie.quat_conj(q_prev),
                                               lie.exp_quat(x_next[-1][3:6])),
@@ -480,9 +491,7 @@ def _init_bookkeeping(state: LIOState, scan: ScanInput, q_pub, p_pub, fstack,
     Mi = state.kf_imu.shape[1]
     phase = state.kf_phase
 
-    new_kf_stack = est.Stacks(corner=fstack.corner,
-                              corner_mask=fstack.corner_mask,
-                              surf=fstack.surf, surf_mask=fstack.surf_mask)
+    new_kf_stack = est.Stacks(*fstack)
 
     # phase 0: open a new keyframe slot (shift); else: update the newest
     # (the reference overwrites back().laserCloud/pose each scan, :952-958)

@@ -163,6 +163,50 @@ def replay(state, scans, cfg):
     return _runner(cfg)(state, scans)
 
 
+_BATCH_RUNNERS = {}
+
+
+def replay_batch(states, scans, cfg, mesh=None):
+    """Replay a BATCH of sequences in lockstep: vmap over the leading batch
+    axis of `states`/`scans`, optionally sharded over `mesh` (a 1-D
+    `jax.sharding.Mesh` whose axis partitions the batch).
+
+    This is the engine's designed scale-out (SURVEY.md §2.4): pure data
+    parallelism over independent replays — each device owns B/n sequences'
+    full state (window, prior, voxel maps); no intra-model cross-device
+    traffic.  scans axes: (T, B, ...) — time-major for lax.scan.
+    """
+    key = (cfg, None if mesh is None else tuple(mesh.axis_names))
+    if key not in _BATCH_RUNNERS:
+        @jax.jit
+        def run(bs, bsc):
+            def one(s, sc):
+                return jax.lax.scan(lambda st, x: pipeline.step(st, x, cfg),
+                                    s, sc)
+            return jax.vmap(one, in_axes=(0, 1), out_axes=(0, 1))(bs, bsc)
+
+        _BATCH_RUNNERS[key] = run
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        st_shard = NamedSharding(mesh, P(axis))
+        sc_shard = NamedSharding(mesh, P(None, axis))
+        states = jax.tree.map(lambda a: jax.device_put(a, st_shard), states)
+        scans = jax.tree.map(lambda a: jax.device_put(a, sc_shard), scans)
+    return _BATCH_RUNNERS[key](states, scans)
+
+
+def stack_sequences(seqs):
+    """Stack per-sequence ScanInput pytrees (T, ...) into (T, B, ...)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *seqs)
+
+
+def stack_states(states):
+    """Stack per-sequence LIOStates into a batch (B, ...)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *states)
+
+
 def ate_rmse(est_q, est_p, gt_R, gt_p):
     """ATE RMSE after first-pose alignment (odometry starts at identity)."""
     R0 = gt_R[0]

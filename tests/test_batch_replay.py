@@ -1,0 +1,67 @@
+"""Batched + mesh-sharded replay on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from mmloam_tpu import pipeline, replay
+from mmloam_tpu.config import tiny_config
+from mmloam_tpu.data import export, synthetic
+from mmloam_tpu.ops import voxelmap
+
+CFG = tiny_config()
+
+
+def make_batch(B, n=8):
+    world = synthetic.default_world()
+    seqs, states = [], []
+    for b in range(B):
+        traj = synthetic.Trajectory(speed=0.5 + 0.1 * b, yaw_rate=0.1 * b)
+        scans, _, _ = replay.make_sequence(world, traj, 0.0, n, CFG,
+                                           n_az=360, seed=b)
+        seqs.append(scans)
+        states.append(pipeline.init_state(CFG))
+    return replay.stack_states(states), replay.stack_sequences(seqs), seqs
+
+
+def test_batched_matches_individual():
+    bs, bsc, seqs = make_batch(2, n=6)
+    _, bouts = replay.replay_batch(bs, bsc, CFG)
+    for b in range(2):
+        _, o = replay.replay(pipeline.init_state(CFG), seqs[b], CFG)
+        # vmapped programs reassociate f32 reductions; sub-mm agreement
+        np.testing.assert_allclose(np.array(bouts.pose_p[:, b]),
+                                   np.array(o.pose_p), atol=5e-4)
+
+
+def test_sharded_over_mesh():
+    assert len(jax.devices()) == 8, "conftest should give 8 virtual devices"
+    mesh = Mesh(np.array(jax.devices()), ("seq",))
+    bs, bsc, seqs = make_batch(8, n=5)
+    st, bouts = replay.replay_batch(bs, bsc, CFG, mesh=mesh)
+    assert bouts.pose_p.shape == (5, 8, 3)
+    assert bool(jnp.isfinite(bouts.pose_p).all())
+    # result actually sharded across devices
+    assert len(bouts.pose_p.sharding.device_set) == 8
+
+
+def test_map_and_trajectory_export(tmp_path):
+    world = synthetic.default_world()
+    traj = synthetic.Trajectory(speed=0.8)
+    scans, _, _ = replay.make_sequence(world, traj, 0.0, 6, CFG, n_az=360)
+    state = pipeline.init_state(CFG)
+    state, outs = replay.replay(state, scans, CFG)
+
+    n = export.save_map_pcd(tmp_path / "map.pcd", state.vm_surf, CFG.map)
+    assert n > 100
+    head = (tmp_path / "map.pcd").read_text().splitlines()
+    assert head[0].startswith("# .PCD")
+    assert f"POINTS {n}" in "\n".join(head[:11])
+
+    export.save_trajectory_tum(tmp_path / "traj.tum", np.array(outs.t),
+                               np.array(outs.pose_p), np.array(outs.pose_q))
+    ts, pos, q = export.load_trajectory_tum(tmp_path / "traj.tum")
+    np.testing.assert_allclose(pos, np.array(outs.pose_p), atol=1e-5)
+    np.testing.assert_allclose(np.abs((q * np.array(outs.pose_q)).sum(1)),
+                               1.0, atol=1e-5)

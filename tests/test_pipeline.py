@@ -83,3 +83,22 @@ def test_static_scans_stay_put():
     state, outs = replay.replay(state, scans, CFG)
     drift = np.linalg.norm(np.array(outs.pose_p), axis=1)
     assert drift.max() < 0.05, f"static drift {drift}"
+
+
+def test_nonfeature_path():
+    """cfg.use_nonfeature maintains the non-feature map and solves with the
+    extra 1-dim plane factors (processNonFeatureICP parity)."""
+    cfg = CFG.replace(use_nonfeature=True)
+    world = synthetic.default_world()
+    traj = synthetic.Trajectory(speed=0.8)
+    scans, _, _ = replay.make_sequence(world, traj, 0.0, 8, cfg, n_az=360)
+    state = pipeline.init_state(cfg)
+    state, outs = replay.replay(state, scans, cfg)
+    assert np.isfinite(np.array(outs.pose_p)).all()
+    # the non-feature map accumulated cells (one move-gated insertion of
+    # the 64-cap tiny-config stack over this short path)
+    assert float(state.vm_non.count.sum()) >= 50
+    # trajectory quality comparable to the default path
+    drift = np.linalg.norm(np.array(outs.pose_p)[-1]
+                           - np.array(outs.pose_p)[0])
+    assert drift < 2.0
