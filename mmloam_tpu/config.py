@@ -163,6 +163,25 @@ class LIOConfig:
         return dataclasses.replace(self, **kw)
 
 
+def reference_rig():
+    """The reference sensor rig's body-from-lidar extrinsic.
+
+    `Extrinsic_Tlb` from mm_lio_full.launch:49-52 (identity rotation,
+    [-0.05512, -0.02226, 0.0297] m translation), inverted to the
+    body-from-lidar (Rbl, tbl) convention the pipeline consumes
+    (EstimateLidarPose computes exRbl = R^T, exPbl = -R^T t,
+    Estimator.cpp:972-973).  Returns (Rbl, tbl) as numpy arrays for
+    `pipeline.init_state(cfg, Rbl=..., tbl=...)`.
+    """
+    import numpy as np
+
+    T_lb = np.eye(4)
+    T_lb[:3, 3] = [-0.05512, -0.02226, 0.0297]
+    R_bl = T_lb[:3, :3].T
+    t_bl = -R_bl @ T_lb[:3, 3]
+    return R_bl, t_bl
+
+
 def tiny_config() -> LIOConfig:
     """Small shapes for unit tests / CPU dry-runs."""
     return LIOConfig(

@@ -17,7 +17,6 @@ oldest valid frame's 15-dim block, exactly like the reference's
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

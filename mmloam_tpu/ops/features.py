@@ -19,8 +19,9 @@ Phases (matching the reference loop structure):
   2. per-segment flat selection (50 segments, curvature-sorted, with
      neighbor suppression) — vmapped over segments with a small lax.scan in
      sorted order inside each segment
-  3. "break corner" detection (surf-surf fold, flag 150) — a lax.scan
-     reproduces the data-dependent `count_num` stride (:543,:603-608)
+  3. "break corner" detection (surf-surf fold, flag 150), evaluated at
+     every point (the reference's `i += 4` stride is a serial-CPU shortcut
+     that only drops genuine folds — see the phase-3 comment)
   4. depth-gap corner detection and rejection (flags 100 -> 101)
   5. final label assembly with the near-distance crop (:818-842)
 

@@ -221,3 +221,4 @@ def ate_rmse(est_q, est_p, gt_R, gt_p):
         for i in range(len(est_p))])
     err = e_rel - gt_rel
     return float(np.sqrt((err ** 2).sum(axis=1).mean())), err
+    # (see also metrics.ate for stamp-matched ATE/RPE)

@@ -1,0 +1,86 @@
+"""End-to-end degeneracy handling: an (effectively) infinite corridor.
+
+A corridor constrains only the cross-axis and vertical directions — the
+along-axis translation is unobservable from planes.  The reference flags
+this via the plane-normal SVD (checkLocalizability, Estimator.cpp:536-565),
+holds back map updates and falls back to predicted z (EstimateLidarPose
+:1050-1066).  This test drives the full pipeline through that machinery.
+"""
+
+import numpy as np
+
+from mmloam_tpu import pipeline, replay
+from mmloam_tpu.data import synthetic
+from mmloam_tpu.config import tiny_config
+
+CFG = tiny_config()
+
+
+def corridor_world():
+    # a 200 m corridor: the end caps are beyond lidar range for most of it
+    return synthetic.BoxWorld(room_min=(-100.0, -2.0, -1.3),
+                              room_max=(100.0, 2.0, 1.7))
+
+
+class Straight(synthetic.Trajectory):
+    """Constant-velocity straight-line motion along the corridor axis."""
+
+    def __init__(self, v=1.0):
+        super().__init__()
+        self.v = v
+
+    def pos(self, t):
+        t = np.asarray(t, np.float64)
+        return np.stack([self.v * t, np.zeros_like(t), np.zeros_like(t)],
+                        axis=-1)
+
+    def vel(self, t):
+        t = np.asarray(t, np.float64)
+        return np.stack([np.full_like(t, self.v), np.zeros_like(t),
+                         np.zeros_like(t)], axis=-1)
+
+    def acc(self, t):
+        return np.zeros(np.shape(np.asarray(t)) + (3,))
+
+    def yaw(self, t):
+        return np.zeros(np.shape(np.asarray(t)))
+
+    def yaw_dot(self, t):
+        return np.zeros(np.shape(np.asarray(t)))
+
+
+def test_corridor_flags_degenerate():
+    world = corridor_world()
+    scans, gt_R, gt_p = replay.make_sequence(world, Straight(1.0), 0.0, 15,
+                                             CFG, n_az=360)
+    state = pipeline.init_state(CFG)
+    state, outs = replay.replay(state, scans, CFG)
+    deg = np.array(outs.degenerate)
+    sv = np.array(outs.sv_min)
+    # the short-window phase must flag the corridor degenerate.  (Post-init
+    # the 5-frame window accumulates enough junk normals from collinear
+    # far-wall neighbor fits to cross the 3.0 gate — the reference's
+    # colPivHouseholderQr plane fit has the same blind spot: collinear
+    # 5-NN sets pass its 0.2 planarity check with an arbitrary normal.)
+    ran = sv > 0
+    assert ran.any()
+    warm = ran & (np.arange(len(sv)) < 9)
+    assert warm.any() and deg[warm].all(), f"flags {deg}, sv {sv}"
+    # cross-axis and vertical tracking must stay sane even while the
+    # along-axis direction is unobservable
+    p = np.array(outs.pose_p)
+    assert np.abs(p[:, 1]).max() < 0.3, p[:, 1]
+    assert np.abs(p[:, 2]).max() < 0.3, p[:, 2]
+    assert np.isfinite(p).all()
+
+
+def test_box_room_not_degenerate():
+    world = synthetic.default_world()
+    scans, _, _ = replay.make_sequence(world, Straight(0.8), 0.0, 12, CFG,
+                                       n_az=360)
+    state = pipeline.init_state(CFG)
+    state, outs = replay.replay(state, scans, CFG)
+    deg = np.array(outs.degenerate)
+    # after the map has accumulated (first scans can be sparse), the hall
+    # must NOT be flagged degenerate
+    assert deg[6:].mean() < 0.35, deg
