@@ -114,6 +114,13 @@ class SolverConfig:
     marg_eps: float = 1.0e-8         # eigen threshold (ceresfunc.h:261)
     init_radius: float = 1.0e4       # initial trust-region radius (Ceres default)
     min_plane_normals: int = 10      # localizability gate (Estimator.cpp:540)
+    # Scatter-rank gate for plane fits: reject 5-NN sets whose middle
+    # covariance eigenvalue is below this fraction of the largest (i.e.
+    # near-collinear neighborhoods, whose fitted normal is arbitrary).
+    # The reference's colPivHouseholderQr fit + 0.2 planarity check accepts
+    # such sets (Estimator.cpp:640-668), which both injects junk factors
+    # and defeats the localizability check in corridors; 0 disables.
+    plane_scatter_ratio: float = 0.01
     degenerate_sv: float = 2.0       # smallest singular value gate (:553)
     corner_cnt_gate_hori: int = 100  # pose-acceptance / merge gates (:1041,:751)
     corner_cnt_gate_velo: int = 50

@@ -140,6 +140,16 @@ def associate_planes(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
 
     plane_fit = jnp.abs(jnp.einsum("kij,kj->ki", nbr, omega) + pd[:, None])
     planar = jnp.all(plane_fit <= 0.2, axis=-1)
+    # scatter-rank gate: a near-collinear neighbor set fits "a plane"
+    # with an arbitrary normal — reject it (cfg.solver.plane_scatter_ratio;
+    # improvement over the reference, see config docstring)
+    if cfg.solver.plane_scatter_ratio > 0:
+        c = jnp.mean(nbr, axis=1)
+        dev = nbr - c[:, None, :]
+        scov = jnp.einsum("kij,kil->kjl", dev, dev)
+        sev = linalg3.eigvalsh3(scov)
+        planar = planar & (sev[:, 1] >
+                           cfg.solver.plane_scatter_ratio * sev[:, 2])
 
     dist = jnp.einsum("kj,kj->k", pw, omega) + pd
     proj = pw - dist[:, None] * omega
