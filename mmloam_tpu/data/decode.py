@@ -96,7 +96,7 @@ def sequence_from_bag(bag, cfg, velo_topic="/velodyne_points",
                       imu_topic="/livox/imu", acc_in_g=True,
                       max_scans=None, skip_frames=1, n_lines=None,
                       max_pts=None, hori_topic=None, time_offset=0.0,
-                      T_hori_to_velo=None):
+                      T_hori_to_velo=None, extrin_recali_every=0):
     """Decode a bag's Velodyne + IMU streams into a stacked ScanInput pytree.
 
     `skip_frames` mirrors the aligner's `velo_skip_frames`
@@ -108,6 +108,10 @@ def sequence_from_bag(bag, cfg, velo_topic="/velodyne_points",
     using the per-dataset `time_offset` (launch `timeoffset_Velo_to_Hori`),
     transformed by `T_hori_to_velo` (the GICP/ICP extrinsic), and attached
     as the scan's hori block.
+
+    `extrin_recali_every` > 0 re-refines the hori->velo extrinsic by ICP
+    every that many scans — the feature node's online `icp_ext_matching`
+    cadence (`extrin_recali_times`, unionFeatureExtract.cpp:302-312).
     """
     sc = cfg.scan
     n_lines = n_lines or sc.n_lines
@@ -119,14 +123,12 @@ def sequence_from_bag(bag, cfg, velo_topic="/velodyne_points",
         idxs = idxs[:max_scans]
 
     hori = None
+    T_cur = (np.eye(4) if T_hori_to_velo is None
+             else np.asarray(T_hori_to_velo, np.float64))
     if hori_topic is not None:
         frames = livox_frames(bag, hori_topic, time_offset)
-        h_xyz = np.concatenate([f["xyz"] for f in frames])
-        if T_hori_to_velo is not None:
-            T = np.asarray(T_hori_to_velo, np.float64)
-            h_xyz = h_xyz @ T[:3, :3].T + T[:3, 3]
         hori = dict(
-            xyz=h_xyz.astype(np.float32),
+            raw_xyz=np.concatenate([f["xyz"] for f in frames]),
             t=np.concatenate([f["abs_time"] for f in frames]),
             line=np.concatenate([f["line"] for f in frames]),
             refl=np.concatenate([f["reflect"] for f in frames]))
@@ -161,9 +163,21 @@ def sequence_from_bag(bag, cfg, velo_topic="/velodyne_points",
         if hori is not None:
             span = max(t_curr - t_prev, 1e-6)
             m = (hori["t"] > t_prev) & (hori["t"] <= t_curr)
+            h_xyz = (hori["raw_xyz"][m] @ T_cur[:3, :3].T
+                     + T_cur[:3, 3]).astype(np.float32)
+            # online extrinsic re-refinement (icp_ext_matching cadence)
+            if extrin_recali_every and len(scans) > 0 and m.sum() > 200 \
+                    and len(scans) % extrin_recali_every == 0:
+                from . import calibration
+                dT, resid, nm = calibration.icp_extrinsic(
+                    h_xyz, pc["xyz"], cfg, iters=10)
+                if nm > 100:
+                    T_cur = dT @ T_cur
+                    h_xyz = (hori["raw_xyz"][m] @ T_cur[:3, :3].T
+                             + T_cur[:3, 3]).astype(np.float32)
             h_rel = ((hori["t"][m] - t_prev) / span).astype(np.float32)
             h_pts, h_int, h_nv, h_rt = ring_organize(
-                hori["xyz"][m], hori["line"][m], h_rel,
+                h_xyz, hori["line"][m], h_rel,
                 sc.hori_n_lines, sc.hori_max_pts_per_line, hori["refl"][m])
             extra = dict(hori_pts=h_pts, hori_intensity=h_int,
                          hori_n_valid=h_nv, hori_rel_time=h_rt)
