@@ -137,6 +137,10 @@ class FailsafeConfig:
     cross_planar_th_sq: float = 0.1  # (unionPoseEstimation.cpp:1196-1208)
     init_bias_bound: float = 0.5     # init sanity (unionPoseEstimation.cpp:583)
     init_velocity_bound: float = 2.0
+    # sanity clamp on the pre-init constant-motion replay delta (m/scan):
+    # keeps one bad degenerate solve from becoming permanent dead-reckoning
+    # runaway (the reference has no guard here and relies on Ceres behaving)
+    max_pred_delta: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -194,6 +198,6 @@ def tiny_config() -> LIOConfig:
     return LIOConfig(
         scan=ScanConfig(n_lines=4, max_pts_per_line=256,
                         max_corner=256, max_surf=1024, max_nonfeature=64),
-        map=MapConfig(dim_x=64, dim_y=64, dim_z=32),
+        map=MapConfig(dim_x=96, dim_y=96, dim_z=32),
         imu=ImuConfig(max_samples=32),
     )

@@ -131,18 +131,27 @@ def _assemble(x, H6, b6, H30, b30, Hp, bp, frame_valid):
     return H, b
 
 
-def _damped_solve(H, b, lam):
-    """Solve (H + lam*diag(H)) dx = -b with Jacobi scaling, f32-safe."""
+def _damped_solve(H, b, lam, radius):
+    """Solve (H + lam*diag(H)) dx = -b with Jacobi scaling, f32-safe.
+
+    Stands in for Ceres's dogleg trust region (Estimator.cpp:1426 DOGLEG):
+    the Jacobi scale is floored RELATIVE to the largest diagonal
+    (near-unobservable directions — e.g. the along-axis translation in a
+    corridor — would otherwise be scaled by 1/sqrt(~0) and the solution
+    explodes along them while the cost stays flat), and the step norm is
+    capped by the caller's adaptive trust `radius`.
+    """
     d = jnp.diagonal(H)
-    s = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-10))
+    d_floor = 1e-6 * jnp.maximum(jnp.max(d), 1e-12)  # relative floor
+    s = 1.0 / jnp.sqrt(jnp.maximum(d, d_floor))
     Hs = H * s[:, None] * s[None, :]
     n = H.shape[0]
-    A = Hs + lam * jnp.eye(n, dtype=H.dtype)
-    # extra tiny ridge for unconstrained dims (zero rows scale to zero)
-    A = A + 1e-8 * jnp.eye(n, dtype=H.dtype)
+    A = Hs + (lam + 1e-8) * jnp.eye(n, dtype=H.dtype)
     L = jnp.linalg.cholesky(A)
     y = jax.scipy.linalg.cho_solve((L, True), -(s * b))
-    return s * y
+    dx = s * y
+    nrm = jnp.linalg.norm(dx)
+    return dx * jnp.minimum(1.0, radius / jnp.maximum(nrm, 1e-12))
 
 
 class SolveResult(NamedTuple):
@@ -173,18 +182,26 @@ def lm_solve(x0, ltgts, ptgts, preint, pair_valid, prior, frame_valid,
         return cp + ci + cpr
 
     def body(carry):
-        x, lam, cost, it, done = carry
+        x, lam, radius, cost, it, done = carry
         H6, b6, _ = _point_blocks(x, ltgts, ptgts, Rbl, tbl, huber_delta)
         H30, b30, _ = _imu_blocks(x, preint, pair_valid, gravity)
         Hp, bp, _ = _prior_block(x, prior)
         H, b = _assemble(x, H6, b6, H30, b30, Hp, bp, frame_valid)
-        dx = _damped_solve(H, b, lam)
+        dx = _damped_solve(H, b, lam, radius)
         x_new = x + dx.reshape(W, 15) * frame_valid[:, None].astype(x.dtype)
         new_cost = cost_at(x_new)
         accept = new_cost < cost
+        # a cost-flat direction (unobservable dim) yields only noise-level
+        # "improvements": such steps are accepted but the trust radius
+        # SHRINKS, so flat-direction random walks stall geometrically while
+        # genuinely-improving solves keep full freedom
+        significant = (cost - new_cost) > 1e-7 * (1.0 + cost)
         x = jnp.where(accept, x_new, x)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), lam * 4.0)
+        radius = jnp.where(accept & significant,
+                           jnp.minimum(radius * 2.0, 10.0),
+                           jnp.maximum(radius * 0.5, 1e-5))
         # convergence (Ceres-like): accepted step barely moved any pose.
         # (The looser 0.05 m / 0.05 deg gates from Estimator.cpp:1448 belong
         # to the *outer* re-associate loop, handled by the pipeline.)
@@ -194,16 +211,19 @@ def lm_solve(x0, ltgts, ptgts, preint, pair_valid, prior, frame_valid,
         dr_max = jnp.max(jnp.linalg.norm(dxf[:, 3:6], axis=-1)
                          * frame_valid.astype(x.dtype))
         conv = accept & (dt_max < 1e-4) & (dr_max < 1e-5)
-        return x, lam, cost, it + 1, done | conv
+        # a fully-stalled trust region is also converged
+        conv = conv | (radius <= 1e-5)
+        return x, lam, radius, cost, it + 1, done | conv
 
     def cond(carry):
-        _, _, _, it, done = carry
+        _, _, _, _, it, done = carry
         return (it < max_iters) & ~done
 
     init_cost = cost_at(x0)
     done0 = jnp.asarray(False) if skip is None else skip
-    x, lam, cost, it, done = jax.lax.while_loop(
-        cond, body, (x0, jnp.asarray(1e-4, x0.dtype), init_cost,
+    x, lam, radius, cost, it, done = jax.lax.while_loop(
+        cond, body, (x0, jnp.asarray(1e-4, x0.dtype),
+                     jnp.asarray(1.0, x0.dtype), init_cost,
                      jnp.int32(0), done0))
     return SolveResult(x=x, cost=cost, iters=it, converged=done)
 

@@ -120,6 +120,17 @@ def insert(vm: VoxelMap, pts, mask, cfg) -> VoxelMap:
     return VoxelMap(cells=cells)
 
 
+def insert_guard(pts, center, cfg):
+    """Mask of points safe to insert: within half a torus period of
+    `center` on every axis.  Inserting beyond would alias onto (and evict)
+    valid cells near the robot — the reference's scrolling grid drops
+    far cubes the same way (MapMove keeps the pose >=8 cubes from the edge,
+    Map_Manager.cpp:288-581)."""
+    lim = jnp.asarray([cfg.dim_x, cfg.dim_y, cfg.dim_z],
+                      pts.dtype) * (0.48 * cfg.voxel_size)
+    return jnp.all(jnp.abs(pts - center[None, :]) < lim[None, :], axis=-1)
+
+
 def _stencil_offsets(cfg):
     sx, sy, sz = cfg.stencil_x, cfg.stencil_y, cfg.stencil_z
     ox, oy, oz = jnp.meshgrid(

@@ -169,6 +169,11 @@ def init_state(cfg, Rbl=None, tbl=None, dtype=jnp.float32, kf_imu_cap=256):
         step_idx=jnp.int32(0))
 
 
+def _clamp_norm(v, max_norm):
+    n = jnp.linalg.norm(v)
+    return v * jnp.minimum(1.0, max_norm / jnp.maximum(n, 1e-12))
+
+
 def _body_pose(x15):
     return lie.exp_quat(x15[3:6]), x15[0:3]
 
@@ -440,7 +445,11 @@ def step(state: LIOState, scan: ScanInput, cfg):
     p_pub = jnp.where(accept, p_pub, p_fb)
     q_pub = jnp.where(accept, q_pub, q_pred_l)
 
-    x_next = jnp.where(accept | ~can_estimate, x_opt, x_w)
+    # the acceptance gate affects only the PUBLISHED pose (and hence the
+    # map-insertion pose); the window always keeps the optimized states —
+    # the reference's double2vector ran unconditionally (Estimator.cpp:1439)
+    # and the gates only rewrite transformTobeMapped (:1041-1067)
+    x_next = x_opt
 
     # ---- 8. map update (move-gated front-frame insertion, :1070-1136) --
     moved = jnp.sum((p_pub - state.last_map_pos) ** 2) >= cfg.solver.map_move_dist_sq
@@ -450,7 +459,8 @@ def step(state: LIOState, scan: ScanInput, cfg):
 
     def insert(vm, pts, mask):
         wpts = pts @ Rwl.T + p_pub[None, :]
-        return voxelmap.insert(vm, wpts, mask & do_map, cfg.map)
+        ok = mask & do_map & voxelmap.insert_guard(wpts, p_pub, cfg.map)
+        return voxelmap.insert(vm, wpts, ok, cfg.map)
 
     vm_corner = insert(state.vm_corner, front_stack.corner, front_stack.corner_mask)
     vm_surf = insert(state.vm_surf, front_stack.surf, front_stack.surf_mask)
@@ -470,8 +480,9 @@ def step(state: LIOState, scan: ScanInput, cfg):
                                               lie.exp_quat(x_next[-1][3:6])),
                       state.dqb),
         dtb=jnp.where(have_prev,
-                      lie.quat_rotate(lie.quat_conj(q_prev),
-                                      x_next[-1][0:3] - p_prev),
+                      _clamp_norm(lie.quat_rotate(lie.quat_conj(q_prev),
+                                                  x_next[-1][0:3] - p_prev),
+                                  cfg.failsafe.max_pred_delta),
                       state.dtb),
         step_idx=state.step_idx + 1)
 
