@@ -112,6 +112,23 @@ class SolverConfig:
     converge_rot_deg: float = 0.05   # outer convergence thresholds (:1448)
     converge_trans: float = 0.05
     marg_eps: float = 1.0e-8         # eigen threshold (ceresfunc.h:261)
+    # Point-factor sigma used when BUILDING the marginalization prior.
+    # The reference folds point factors into the prior at lidar_m = 1.5 mm
+    # (ceresfunc.h:321 sqrt infos), wildly overconfident vs the real map
+    # error (>= leaf-size centroid noise); the prior's information then
+    # grows ~700 units/scan without forgetting, progressively freezing the
+    # window against fresh measurements (measured: monotone backward drift
+    # under sustained motion).  0.05 m bounds the prior realistically;
+    # set to imu.lidar_m for strict reference behavior.
+    marg_point_sigma: float = 0.05
+    # Re-associate every outer round in FULL-window mode too.  The
+    # reference freezes full-window associations at the entry (predicted)
+    # poses (the vLineFeatures cache, Estimator.cpp:160-170); under
+    # sustained motion the stale targets lag the true pose, the window
+    # under-tracks, and the accelerometer bias absorbs the discrepancy —
+    # a measured velocity-decay feedback loop.  Refreshing targets at the
+    # updated poses breaks the loop (costs 4 extra map gathers per scan).
+    reassociate_full: bool = True
     init_radius: float = 1.0e4       # initial trust-region radius (Ceres default)
     min_plane_normals: int = 10      # localizability gate (Estimator.cpp:540)
     # Scatter-rank gate for plane fits: reject 5-NN sets whose middle

@@ -124,15 +124,18 @@ def estimate(x0, stacks: Stacks, vm_corner, vm_surf, preint, pair_valid,
         # full mode with frozen targets: once the LM has converged, further
         # rounds are identical — `skip` zeroes the solve's iterations (the
         # reference's outer convergence break, Estimator.cpp:1448)
+        can_skip = (jnp.asarray(False) if cfg.solver.reassociate_full
+                    else full_window)
         res = solver.lm_solve(
             x, lt, pt, preint, pair_valid, prior, frame_valid, gravity,
             Rbl, tbl, cfg, s.max_inner_iters, huber_delta=huber,
-            skip=full_window & conv)
+            skip=can_skip & conv)
         x = res.x
         conv = conv | res.converged
 
         # re-associate for the NEXT round; full mode keeps the frozen
-        # targets — and skips the (expensive) map gathers entirely
+        # targets (unless cfg.solver.reassociate_full) and then skips the
+        # (expensive) map gathers entirely
         def reassociate(_):
             lt_n, pt_n, normals, nv = _associate_all(
                 x, stacks, vm_corner, vm_surf, vm_non, Rbl, tbl, cfg,
@@ -143,7 +146,9 @@ def estimate(x0, stacks: Stacks, vm_corner, vm_surf, preint, pair_valid,
         def frozen(_):
             return lt, pt, deg, fail, sv
 
-        lt, pt, deg, fail, sv = jax.lax.cond(full_window, frozen,
+        freeze = (jnp.asarray(False) if cfg.solver.reassociate_full
+                  else full_window)
+        lt, pt, deg, fail, sv = jax.lax.cond(freeze, frozen,
                                              reassociate, None)
         return (x, lt, pt, deg, fail, sv, conv), None
 
@@ -152,10 +157,12 @@ def estimate(x0, stacks: Stacks, vm_corner, vm_surf, preint, pair_valid,
                                                        sched[1:])
     # final solve with the last associations (no-op if already converged
     # on frozen targets)
+    final_skip = (jnp.asarray(False) if cfg.solver.reassociate_full
+                  else full_window)
     res = solver.lm_solve(x, lt, pt, preint, pair_valid, prior,
                           frame_valid, gravity, Rbl, tbl, cfg,
                           s.max_inner_iters, huber_delta=huber,
-                          skip=full_window & conv)
+                          skip=final_skip & conv)
     x = res.x
 
     new_prior = solver.marginalize(x, lt, pt, preint, prior, gravity,

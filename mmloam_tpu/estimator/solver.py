@@ -143,10 +143,15 @@ def _damped_solve(H, b, lam, radius):
     """
     d = jnp.diagonal(H)
     d_floor = 1e-6 * jnp.maximum(jnp.max(d), 1e-12)  # relative floor
-    s = 1.0 / jnp.sqrt(jnp.maximum(d, d_floor))
+    # dims whose curvature is far below the problem scale are unobservable
+    # from this solve's data: freeze them entirely (dx=0), like dogleg,
+    # instead of letting dx = -noise/d_floor random-walk them
+    observable = d > d_floor
+    s = jnp.where(observable, 1.0 / jnp.sqrt(jnp.maximum(d, d_floor)), 0.0)
     Hs = H * s[:, None] * s[None, :]
     n = H.shape[0]
     A = Hs + (lam + 1e-8) * jnp.eye(n, dtype=H.dtype)
+    A = A + jnp.diag(jnp.where(observable, 0.0, 1.0))
     L = jnp.linalg.cholesky(A)
     y = jax.scipy.linalg.cho_solve((L, True), -(s * b))
     dx = s * y
@@ -259,14 +264,17 @@ def marginalize(x, ltgts0, ptgts0, preint, prior, gravity, Rbl, tbl, cfg):
     b = b + JI.T @ rI
 
     # frame 0 point factors (cached targets, current pose, no loss —
-    # matching the marginalization adds at Estimator.cpp:1521-1549)
+    # matching the marginalization adds at Estimator.cpp:1521-1549) at the
+    # prior-realistic sigma (cfg.solver.marg_point_sigma; residuals here
+    # are in lidar_m units, so weight 1 == sigma lidar_m)
     x6 = x[0, :6]
+    w_marg = cfg.imu.lidar_m / cfg.solver.marg_point_sigma
     lt = jax.tree.map(lambda a: a[0], ltgts0)
     pt = jax.tree.map(lambda a: a[0], ptgts0)
-    rl = factors.line_residual(x6, lt, Rbl, tbl)
-    Jl = jax.jacfwd(lambda zz: factors.line_residual(zz, lt, Rbl, tbl))(x6)
-    rp = factors.plane_residual(x6, pt, Rbl, tbl)
-    Jp = jax.jacfwd(lambda zz: factors.plane_residual(zz, pt, Rbl, tbl))(x6)
+    rl = factors.line_residual(x6, lt, Rbl, tbl) * w_marg
+    Jl = jax.jacfwd(lambda zz: factors.line_residual(zz, lt, Rbl, tbl))(x6) * w_marg
+    rp = factors.plane_residual(x6, pt, Rbl, tbl) * w_marg
+    Jp = jax.jacfwd(lambda zz: factors.plane_residual(zz, pt, Rbl, tbl))(x6) * w_marg
     H6 = jnp.einsum("ki,kj->ij", Jl, Jl) + jnp.einsum("kdi,kdj->ij", Jp, Jp)
     b6 = Jl.T @ rl + jnp.einsum("kdi,kd->i", Jp, rp)
     A = A.at[0:6, 0:6].add(H6)
