@@ -42,9 +42,15 @@ import os as _os
 
 _cache_dir = _os.environ.get("MMLOAM_JAX_CACHE",
                              _os.path.expanduser("~/.cache/mmloam_jax"))
-try:
-    _os.makedirs(_cache_dir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-except Exception:  # pragma: no cover — cache is best-effort
-    pass
+# CPU runs (tests) must NOT use the persistent cache: XLA:CPU serializes
+# AOT executables pinned to the build machine's CPU features, and loading
+# or re-writing them on a different host segfaults inside
+# compilation_cache.put_executable_and_time (observed in this container).
+# TPU executables are device-targeted and safe to cache.
+if _cache_dir and _os.environ.get("JAX_PLATFORMS", "") != "cpu":
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover — cache is best-effort
+        pass

@@ -82,7 +82,16 @@ class MapConfig:
     dim_x: int = 256                 # torus dims (power of two)
     dim_y: int = 256
     dim_z: int = 64
-    count_cap: float = 100.0         # running-mean inertia cap
+    count_cap: float = 100.0         # running-mean inertia cap (<= 127:
+    #                                  count lives in meta's 7-bit field)
+    # superrow packing: fine cells stored (pack_x, pack_y, pack_z) blocks
+    # to a 128-lane row so the stencil gather fetches 8 512-byte rows per
+    # query instead of 75 16-byte cells (TPU row gathers cost per row,
+    # ~10 ns, nearly independent of row size — measured,
+    # scripts/gather_bench.py)
+    pack_x: int = 4
+    pack_y: int = 4
+    pack_z: int = 2
     # stencil half-extent per axis for the k-NN gather.  The reference's
     # kd-tree nearestKSearch is range-unbounded (gated afterwards at
     # thres_dist, up to 5 m pre-init); a (2,2,1) stencil reaches ~0.9-1.8 m
@@ -111,6 +120,11 @@ class SolverConfig:
     huber_delta_scale: float = 0.1   # HuberLoss(0.1/lidar_m) (:1216)
     converge_rot_deg: float = 0.05   # outer convergence thresholds (:1448)
     converge_trans: float = 0.05
+    # inner LM convergence: accepted step's max pose delta below these ->
+    # stop iterating.  The reference's OUTER gates are 0.05 m / 0.05 deg
+    # (:1448); these inner gates only need to be comfortably below that.
+    inner_converge_trans: float = 3.0e-4   # meters
+    inner_converge_rot: float = 3.0e-5     # radians
     marg_eps: float = 1.0e-8         # eigen threshold (ceresfunc.h:261)
     # Point-factor sigma used when BUILDING the marginalization prior.
     # The reference folds point factors into the prior at lidar_m = 1.5 mm
@@ -121,14 +135,17 @@ class SolverConfig:
     # under sustained motion).  0.05 m bounds the prior realistically;
     # set to imu.lidar_m for strict reference behavior.
     marg_point_sigma: float = 0.05
-    # Re-associate every outer round in FULL-window mode too.  The
-    # reference freezes full-window associations at the entry (predicted)
-    # poses (the vLineFeatures cache, Estimator.cpp:160-170); under
-    # sustained motion the stale targets lag the true pose, the window
-    # under-tracks, and the accelerometer bias absorbs the discrepancy —
-    # a measured velocity-decay feedback loop.  Refreshing targets at the
-    # updated poses breaks the loop (costs 4 extra map gathers per scan).
-    reassociate_full: bool = True
+    # Re-associate the first N outer rounds in FULL-window mode (0 =
+    # reference behavior).  The reference freezes full-window associations
+    # at the entry (predicted) poses (the vLineFeatures cache,
+    # Estimator.cpp:160-170); under sustained motion the stale targets lag
+    # the true pose, the window under-tracks, and the accelerometer bias
+    # absorbs the discrepancy — a measured velocity-decay feedback loop.
+    # Refreshing targets once at the post-solve poses breaks the loop;
+    # rounds beyond ~2 change targets negligibly (the pose moves < the map
+    # voxel size) but each costs 5 frames x ~1.3k stencil map gathers, the
+    # single most expensive op in the step program.
+    full_reassoc_rounds: int = 2
     init_radius: float = 1.0e4       # initial trust-region radius (Ceres default)
     min_plane_normals: int = 10      # localizability gate (Estimator.cpp:540)
     # Scatter-rank gate for plane fits: reject 5-NN sets whose middle

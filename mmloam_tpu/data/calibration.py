@@ -82,6 +82,30 @@ def _icp_core(src, src_mask, vm, x0, cfg, iters):
     return x, resids[-1], counts[-1]
 
 
+def _fitted_map_config(map_cfg, pts, voxel, stencil=(2, 2, 2)):
+    """Map config whose torus covers the cloud's bounding box alias-free.
+
+    The pipeline's map dims assume lidar-range locality (insert_guard keeps
+    everything within half a period of the pose); these one-shot
+    calibration utilities instead insert a whole static cloud at a fine
+    leaf, so the dims must be derived from the actual extent — otherwise
+    points one torus period apart alias into the same cells within a
+    single insert batch, which is undefined (mixed sums under one key).
+    """
+    import dataclasses
+
+    import numpy as np
+
+    finite = np.isfinite(pts).all(axis=-1)
+    span = np.ptp(pts[finite], axis=0) / voxel + 2 * (np.asarray(stencil) + 4)
+    packs = (map_cfg.pack_x, map_cfg.pack_y, map_cfg.pack_z)
+    dims = [int(-(-s // p)) * p for s, p in zip(span, packs)]
+    return dataclasses.replace(
+        map_cfg, voxel_size=voxel, dim_x=dims[0], dim_y=dims[1],
+        dim_z=dims[2], stencil_x=stencil[0], stencil_y=stencil[1],
+        stencil_z=stencil[2])
+
+
 def icp_extrinsic(src_pts, dst_pts, cfg, init_T=None, iters=30,
                   voxel=0.1):
     """Estimate T (4x4) aligning src onto dst (e.g. hori -> velo frame).
@@ -95,9 +119,8 @@ def icp_extrinsic(src_pts, dst_pts, cfg, init_T=None, iters=30,
     src_mask = _crop(src, jnp.isfinite(src).all(axis=-1))
     dst_mask = _crop(dst, jnp.isfinite(dst).all(axis=-1))
 
-    import dataclasses
-    mcfg = dataclasses.replace(cfg.map, voxel_size=voxel,
-                               stencil_x=2, stencil_y=2, stencil_z=2)
+    mcfg = _fitted_map_config(cfg.map, np.asarray(dst_pts), voxel,
+                              stencil=(2, 2, 2))
     cfg2 = cfg.replace(map=mcfg)
     vm = voxelmap.insert(voxelmap.empty_map(mcfg), dst, dst_mask, mcfg)
 
@@ -124,26 +147,28 @@ def estimate_time_offset(hori_abs_t, hori_pts, velo_pts, velo_t0, velo_t1,
     Mirrors unionLidarsAligner.cpp:1077-1165 with the kd-tree replaced by
     the voxel map.
     """
-    import dataclasses
-
     import numpy as np
 
-    mcfg = dataclasses.replace(cfg.map, voxel_size=voxel,
-                               stencil_x=1, stencil_y=1, stencil_z=1)
+    mcfg = _fitted_map_config(cfg.map, np.asarray(velo_pts), voxel,
+                              stencil=(1, 1, 1))
     vm = voxelmap.insert(
         voxelmap.empty_map(mcfg), jnp.asarray(velo_pts, jnp.float32),
         jnp.isfinite(jnp.asarray(velo_pts, jnp.float32)).all(axis=-1), mcfg)
     hp = jnp.asarray(hori_pts, jnp.float32)
     ht = jnp.asarray(hori_abs_t, jnp.float32)
 
+    gate = 2.0 * voxel
+
     @jax.jit
     def score(off):
         m = (ht - off >= velo_t0) & (ht - off < velo_t1)
         nbr, nvalid, d2 = voxelmap.query_knn(vm, hp, m, mcfg)
         d = jnp.sqrt(jnp.where(nvalid[:, 0], d2[:, 0], jnp.inf))
-        ok = m & nvalid[:, 0]
-        # unmatched points are penalized like the reference's additive error
-        pen = jnp.where(m & ~nvalid[:, 0], 2.0 * voxel, 0.0)
+        # a far match carries no alignment information: gate it and charge
+        # the same flat penalty as no-match, so the score stays sharp
+        # regardless of how far the stencil window reaches
+        ok = m & nvalid[:, 0] & (d < gate)
+        pen = jnp.where(m & ~ok, gate, 0.0)
         tot = jnp.sum(jnp.where(ok, d, 0.0)) + jnp.sum(pen)
         return tot / jnp.maximum(jnp.sum(m), 1)
 

@@ -119,23 +119,26 @@ def estimate(x0, stacks: Stacks, vm_corner, vm_surf, preint, pair_valid,
         weight_tan, frame_valid)
     deg0, fail0, sv0 = factors.localizability(normals0, nv0, cfg)
 
-    def round_fn(carry, thres_i):
-        x, lt, pt, deg, fail, sv, conv = carry
-        # full mode with frozen targets: once the LM has converged, further
-        # rounds are identical — `skip` zeroes the solve's iterations (the
-        # reference's outer convergence break, Estimator.cpp:1448)
-        can_skip = (jnp.asarray(False) if cfg.solver.reassociate_full
-                    else full_window)
+    # full-window mode re-associates only in the first `full_reassoc_rounds`
+    # rounds (the map stencil gathers dominate the step program); short
+    # mode re-associates every round like the reference's member-threshold
+    # schedule.  `refreshed[r]` = targets rebuilt at the END of round r.
+    refresh_full = jnp.arange(1, s.max_outer_iters) < s.full_reassoc_rounds
+
+    def round_fn(carry, inp):
+        thres_i, refresh_flag = inp
+        x, lt, pt, deg, fail, sv, conv, fresh = carry
+        # unchanged targets + converged LM: further solves are identical —
+        # `skip` zeroes the solve's iterations (the reference's outer
+        # convergence break, Estimator.cpp:1448)
         res = solver.lm_solve(
             x, lt, pt, preint, pair_valid, prior, frame_valid, gravity,
             Rbl, tbl, cfg, s.max_inner_iters, huber_delta=huber,
-            skip=can_skip & conv)
+            skip=conv & ~fresh)
         x = res.x
-        conv = conv | res.converged
+        conv = res.converged
 
-        # re-associate for the NEXT round; full mode keeps the frozen
-        # targets (unless cfg.solver.reassociate_full) and then skips the
-        # (expensive) map gathers entirely
+        # re-associate for the NEXT round at the updated poses
         def reassociate(_):
             lt_n, pt_n, normals, nv = _associate_all(
                 x, stacks, vm_corner, vm_surf, vm_non, Rbl, tbl, cfg,
@@ -146,23 +149,22 @@ def estimate(x0, stacks: Stacks, vm_corner, vm_surf, preint, pair_valid,
         def frozen(_):
             return lt, pt, deg, fail, sv
 
-        freeze = (jnp.asarray(False) if cfg.solver.reassociate_full
-                  else full_window)
-        lt, pt, deg, fail, sv = jax.lax.cond(freeze, frozen,
-                                             reassociate, None)
-        return (x, lt, pt, deg, fail, sv, conv), None
+        do_refresh = jnp.logical_or(jnp.logical_not(full_window),
+                                    refresh_flag)
+        lt, pt, deg, fail, sv = jax.lax.cond(do_refresh, reassociate,
+                                             frozen, None)
+        return (x, lt, pt, deg, fail, sv, conv, do_refresh), None
 
-    carry0 = (x0, lt0, pt0, deg0, fail0, sv0, jnp.asarray(False))
-    (x, lt, pt, deg, fail, sv, conv), _ = jax.lax.scan(round_fn, carry0,
-                                                       sched[1:])
+    carry0 = (x0, lt0, pt0, deg0, fail0, sv0, jnp.asarray(False),
+              jnp.asarray(True))
+    (x, lt, pt, deg, fail, sv, conv, fresh), _ = jax.lax.scan(
+        round_fn, carry0, (sched[1:], refresh_full))
     # final solve with the last associations (no-op if already converged
-    # on frozen targets)
-    final_skip = (jnp.asarray(False) if cfg.solver.reassociate_full
-                  else full_window)
+    # on unchanged targets)
     res = solver.lm_solve(x, lt, pt, preint, pair_valid, prior,
                           frame_valid, gravity, Rbl, tbl, cfg,
                           s.max_inner_iters, huber_delta=huber,
-                          skip=final_skip & conv)
+                          skip=conv & ~fresh)
     x = res.x
 
     new_prior = solver.marginalize(x, lt, pt, preint, prior, gravity,

@@ -176,32 +176,39 @@ def lm_solve(x0, ltgts, ptgts, preint, pair_valid, prior, frame_valid,
     exactly like the cached vLineFeatures/vPlanFeatures (:1304-1374).
     `skip` (traced bool) pre-sets the loop's done flag so the whole solve
     is a no-op — cheaper for the compiler than wrapping in lax.cond.
+
+    Deferred-evaluation LM: each iteration evaluates residual blocks ONCE,
+    at the trial point, and that evaluation doubles as (a) the accept test
+    for the PREVIOUS step and (b) the normal equations for the next step
+    when accepted.  On rejection the step is retried from the stored
+    accepted-point blocks with stronger damping — halving the per-iteration
+    cost vs the evaluate-then-re-evaluate formulation at identical accepted
+    iterates.
     """
     W = x0.shape[0]
 
-    def cost_at(x):
-        _, _, cp = _point_blocks(x, ltgts, ptgts, Rbl, tbl, huber_delta)
-        # cost of IMU/prior (no robust loss in the reference for these)
-        _, _, ci = _imu_blocks(x, preint, pair_valid, gravity)
-        _, _, cpr = _prior_block(x, prior)
-        return cp + ci + cpr
+    def blocks_at(x):
+        H6, b6, cp = _point_blocks(x, ltgts, ptgts, Rbl, tbl, huber_delta)
+        # IMU/prior carry no robust loss in the reference
+        H30, b30, ci = _imu_blocks(x, preint, pair_valid, gravity)
+        Hp, bp, cpr = _prior_block(x, prior)
+        H, b = _assemble(x, H6, b6, H30, b30, Hp, bp, frame_valid)
+        return H, b, cp + ci + cpr
 
     def body(carry):
-        x, lam, radius, cost, it, done = carry
-        H6, b6, _ = _point_blocks(x, ltgts, ptgts, Rbl, tbl, huber_delta)
-        H30, b30, _ = _imu_blocks(x, preint, pair_valid, gravity)
-        Hp, bp, _ = _prior_block(x, prior)
-        H, b = _assemble(x, H6, b6, H30, b30, Hp, bp, frame_valid)
+        x, H, b, lam, radius, cost, it, done = carry
         dx = _damped_solve(H, b, lam, radius)
-        x_new = x + dx.reshape(W, 15) * frame_valid[:, None].astype(x.dtype)
-        new_cost = cost_at(x_new)
+        x_try = x + dx.reshape(W, 15) * frame_valid[:, None].astype(x.dtype)
+        H_t, b_t, new_cost = blocks_at(x_try)
         accept = new_cost < cost
         # a cost-flat direction (unobservable dim) yields only noise-level
         # "improvements": such steps are accepted but the trust radius
         # SHRINKS, so flat-direction random walks stall geometrically while
         # genuinely-improving solves keep full freedom
         significant = (cost - new_cost) > 1e-7 * (1.0 + cost)
-        x = jnp.where(accept, x_new, x)
+        x = jnp.where(accept, x_try, x)
+        H = jnp.where(accept, H_t, H)
+        b = jnp.where(accept, b_t, b)
         cost = jnp.where(accept, new_cost, cost)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), lam * 4.0)
         radius = jnp.where(accept & significant,
@@ -215,19 +222,29 @@ def lm_solve(x0, ltgts, ptgts, preint, pair_valid, prior, frame_valid,
                          * frame_valid.astype(x.dtype))
         dr_max = jnp.max(jnp.linalg.norm(dxf[:, 3:6], axis=-1)
                          * frame_valid.astype(x.dtype))
-        conv = accept & (dt_max < 1e-4) & (dr_max < 1e-5)
+        conv = accept & (dt_max < cfg.solver.inner_converge_trans) & (
+            dr_max < cfg.solver.inner_converge_rot)
         # a fully-stalled trust region is also converged
         conv = conv | (radius <= 1e-5)
-        return x, lam, radius, cost, it + 1, done | conv
+        return x, H, b, lam, radius, cost, it + 1, done | conv
 
     def cond(carry):
-        _, _, _, _, it, done = carry
+        it, done = carry[-2], carry[-1]
         return (it < max_iters) & ~done
 
-    init_cost = cost_at(x0)
     done0 = jnp.asarray(False) if skip is None else skip
-    x, lam, radius, cost, it, done = jax.lax.while_loop(
-        cond, body, (x0, jnp.asarray(1e-4, x0.dtype),
+    n = W * 15
+    if skip is None:
+        H0, b0, init_cost = blocks_at(x0)
+    else:
+        # a skipped solve never reads the blocks — don't evaluate them
+        H0, b0, init_cost = jax.lax.cond(
+            skip,
+            lambda _: (jnp.zeros((n, n), x0.dtype), jnp.zeros((n,), x0.dtype),
+                       jnp.asarray(0.0, x0.dtype)),
+            lambda _: blocks_at(x0), None)
+    x, _, _, lam, radius, cost, it, done = jax.lax.while_loop(
+        cond, body, (x0, H0, b0, jnp.asarray(1e-4, x0.dtype),
                      jnp.asarray(1.0, x0.dtype), init_cost,
                      jnp.int32(0), done0))
     return SolveResult(x=x, cost=cost, iters=it, converged=done)

@@ -53,7 +53,98 @@ def preintegrate(acc, gyr, dt, mask, bg, ba, imu_cfg) -> PreintResult:
 
     `acc` is the raw accelerometer reading in g units; the reference scales
     by gnorm (IMUIntegrator.cpp:119-121).
+
+    Parallel formulation: the reference's per-sample loop is a chain of
+    affine recurrences, so the whole window is computed in log-depth —
+    (1) quaternion prefix products give every step's accumulated rotation
+    R_k, (2) dp/dv follow from (prefix-)sums of R_k a_k dt_k, (3) the bias
+    Jacobian is the reduced product of the per-step transition matrices
+    A_k, and (4) the covariance is sum_k G_k B_k N B_k^T G_k^T with G_k the
+    suffix products of A — two `associative_scan`s plus batched 15x15
+    matmuls instead of a 64-step sequential `lax.scan`.  Masked samples
+    have dt forced to 0, which makes their A=I, B=0: exact no-ops.
     """
+    dtype = acc.dtype
+    noise = _noise_matrix(imu_cfg, dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    M = acc.shape[0]
+
+    dt_m = jnp.where(mask, dt, 0.0).astype(dtype)         # (M,)
+    a = acc.astype(dtype) * imu_cfg.gnorm - ba            # (M,3)
+    w = gyr.astype(dtype) - bg
+    w_dt = w * dt_m[:, None]
+    dt2 = dt_m * dt_m
+
+    # (1) accumulated rotation before each sample: R_k = R(e_0 ... e_{k-1})
+    e = jax.vmap(lie.exp_quat)(w_dt)                      # (M,4)
+    pref = _quat_prefix(e)                                # (M,4) inclusive
+    dq = pref[-1]
+    q_before = jnp.concatenate(
+        [jnp.array([[1.0, 0, 0, 0]], dtype), pref[:-1]], axis=0)
+    Rk = jax.vmap(lie.quat_to_matrix)(q_before)           # (M,3,3)
+
+    # (2) dp / dv
+    Ra = jnp.einsum("kij,kj->ki", Rk, a)                  # (M,3)
+    u = Ra * dt_m[:, None]                                # dv increments
+    dv_prefix = jnp.cumsum(u, axis=0) - u                 # exclusive prefix
+    dv = jnp.sum(u, axis=0)
+    dp = jnp.sum(dv_prefix * dt_m[:, None] + 0.5 * Ra * dt2[:, None], axis=0)
+
+    # per-step transition A_k and noise map B_k (IMUIntegrator.cpp:130-151)
+    dR = jax.vmap(lie.exp_matrix)(w_dt)
+    Jr = jax.vmap(lie.right_jacobian)(w_dt)
+    a_hat = jax.vmap(lie.hat)(a)
+    Ra_hat = jnp.einsum("kij,kjl->kil", Rk, a_hat)
+
+    A = jnp.broadcast_to(jnp.eye(15, dtype=dtype), (M, 15, 15))
+    A = A.at[:, 0:3, 3:6].set(-0.5 * Ra_hat * dt2[:, None, None])
+    A = A.at[:, 0:3, 6:9].set(eye3[None] * dt_m[:, None, None])
+    A = A.at[:, 0:3, 12:15].set(-0.5 * Rk * dt2[:, None, None])
+    A = A.at[:, 3:6, 3:6].set(jnp.swapaxes(dR, -1, -2))
+    A = A.at[:, 3:6, 9:12].set(-Jr * dt_m[:, None, None])
+    A = A.at[:, 6:9, 3:6].set(-Ra_hat * dt_m[:, None, None])
+    A = A.at[:, 6:9, 12:15].set(-Rk * dt_m[:, None, None])
+    # masked steps: exp(0)=I and dt=0 already make A=I; re-force the (3:6,
+    # 3:6) block which holds dR.T regardless of dt
+    A = jnp.where(mask[:, None, None], A,
+                  jnp.broadcast_to(jnp.eye(15, dtype=dtype), (M, 15, 15)))
+
+    B = jnp.zeros((M, 15, 12), dtype)
+    B = B.at[:, 0:3, 3:6].set(0.5 * Rk * dt2[:, None, None])
+    B = B.at[:, 3:6, 0:3].set(Jr * dt_m[:, None, None])
+    B = B.at[:, 6:9, 3:6].set(Rk * dt_m[:, None, None])
+    B = B.at[:, 9:12, 6:9].set(eye3[None] * dt_m[:, None, None])
+    B = B.at[:, 12:15, 9:12].set(eye3[None] * dt_m[:, None, None])
+
+    # (3) jac = A_{M-1} @ ... @ A_0: prefix combos with combine(x,y) = y @ x
+    def apply_then(x, y):
+        return jnp.einsum("...ij,...jk->...ik", y, x)
+
+    jac = jax.lax.associative_scan(apply_then, A)[-1]
+
+    # (4) cov = sum_k G_k (B_k N B_k^T) G_k^T, G_k = A_{M-1}...A_{k+1}
+    if M > 1:
+        # p_j = A_{M-1} @ ... @ A_{M-1-j}; G_k = p_{M-2-k}, G_{M-1} = I
+        rev_pref = jax.lax.associative_scan(
+            lambda x, y: jnp.einsum("...ij,...jk->...ik", x, y), A[::-1])
+        G = jnp.concatenate(
+            [rev_pref[M - 2::-1], jnp.eye(15, dtype=dtype)[None]], axis=0)
+    else:
+        G = jnp.broadcast_to(jnp.eye(15, dtype=dtype), (1, 15, 15))
+    BN = jnp.einsum("kij,jl->kil", B, noise)
+    Q = jnp.einsum("kij,klj->kil", BN, B)
+    GQ = jnp.einsum("kij,kjl->kil", G, Q)
+    cov = jnp.einsum("kij,klj->il", GQ, G)
+
+    dtime = jnp.sum(dt_m).astype(dtype)
+    return PreintResult(lie.quat_normalize(dq), dp, dv, cov, jac, dtime,
+                        bg, ba)
+
+
+def preintegrate_sequential(acc, gyr, dt, mask, bg, ba, imu_cfg) -> PreintResult:
+    """Reference-shaped sequential `lax.scan` preintegration (the literal
+    transcription of IMUIntegrator.cpp:108-166) — kept as the ground truth
+    the parallel formulation is tested against."""
     dtype = acc.dtype
     noise = _noise_matrix(imu_cfg, dtype)
     eye3 = jnp.eye(3, dtype=dtype)
@@ -115,17 +206,20 @@ def preintegrate(acc, gyr, dt, mask, bg, ba, imu_cfg) -> PreintResult:
     return PreintResult(dq, dp, dv, cov, jac, dtime, bg, ba)
 
 
+def _quat_prefix(e):
+    """Inclusive quaternion prefix products (log-depth)."""
+
+    def qmul_norm(q1, q2):
+        return lie.quat_normalize(lie.quat_mul(q1, q2))
+
+    return jax.lax.associative_scan(jax.vmap(qmul_norm), e)
+
+
 def gyro_integrate(gyr, dt, mask):
-    """Orientation-only integration (IMUIntegrator.cpp:90-106)."""
-
-    def body(dq, x):
-        w, dt_i, m = x
-        dq_n = lie.quat_normalize(lie.quat_mul(dq, lie.exp_quat(w * dt_i)))
-        return jnp.where(m, dq_n, dq), None
-
-    init = jnp.array([1.0, 0.0, 0.0, 0.0], gyr.dtype)
-    dq, _ = jax.lax.scan(body, init, (gyr, dt, mask))
-    return dq
+    """Orientation-only integration (IMUIntegrator.cpp:90-106), log-depth."""
+    dt_m = jnp.where(mask, dt, 0.0).astype(gyr.dtype)
+    e = jax.vmap(lie.exp_quat)(gyr * dt_m[:, None])
+    return lie.quat_normalize(_quat_prefix(e)[-1])
 
 
 def average_acc(acc, mask, imu_cfg, max_count: int = 31):

@@ -13,22 +13,30 @@ Design here (no trees, no scrolling copies):
     has exactly one point (the centroid) per leaf.
   * Cells are addressed modulo the grid dims (a 3-D torus).  Two voxels
     collide only when they are `dim * voxel_size` apart (~100 m at the
-    defaults), far beyond matching range; the cell stores its true voxel
+    defaults), far beyond matching range; each cell stores its true voxel
     coordinate's per-axis period quotient, so stale cells from a previous
     pass of the torus are detected at query time and overwritten at insert
     time.  This reproduces `MapMove`'s drop-far-cubes semantics with zero
     data movement.
-  * The per-cell payload lives in ONE (C, 8) f32 row
-    [sum_x, sum_y, sum_z, count, key, pad...]: the k-NN stencil gather
-    fetches one vector-width row per candidate cell instead of several
-    scalar gathers (random gathers run on the TPU sparse core / scalar
-    path, so bytes-per-index is the throughput lever).  The key is the
-    packed quotient, biased into [0, 2^18) so it is exact in f32
-    (empty = -1); coverage is +-32 torus periods (~3 km at defaults) before
-    quotients saturate.
-  * Insert is a masked scatter-add of (point - voxel corner, 1); centroids
-    are reconstructed as `corner + sum/count`.  Corner-relative sums keep
-    f32 exact regardless of world coordinates.
+  * **Superrow packing** (the TPU-critical layout choice): cells are
+    stored 32-to-a-row as one (Cs, 128) f32 table — a (pack_x, pack_y,
+    pack_z) = (4,4,2) block of fine cells per 512-byte row.  Measured on
+    v5e, XLA row gathers cost ~10 ns/row nearly independent of row size up
+    to 512 B, so the k-NN stencil read costs per GATHERED ROW, not per
+    cell: a (+-2,+-2,+-1) fine stencil needs only 2x2x2 = 8 superrow
+    gathers per query instead of 75 cell gathers — ~9x fewer rows for a
+    strictly larger candidate coverage.
+  * Within a row the four cell fields are stored struct-of-arrays —
+    [sum_x(32) | sum_y(32) | sum_z(32) | meta(32)] — so unpacking a
+    gathered (M, S, 128) block is four LANE SLICES, never a minor-dim
+    reshape (which the TPU tiled layout turns into a real transpose).
+  * Cell payload: sums relative to the fine-voxel corner (keeps f32 exact
+    regardless of world coords) and meta = key*128 + count (key < 2^15,
+    count <= 127 => meta < 2^22, exact in f32).  count == 0 means empty;
+    a stale cell keeps its old key and fails the query-time key check.
+    Counts saturate at cfg.count_cap by rescaling the sums (running mean
+    with bounded inertia — the reference instead re-runs VoxelGrid over
+    the whole cube past 300 points, Map_Manager.cpp:226).
 
 The reference's triple-buffered map snapshots (Map_Manager.cpp:132-146,
 Estimator.cpp:1170-1184) existed to let matching run against a consistent
@@ -43,50 +51,95 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-_EMPTY_KEY = -1.0
-_PAY = 8       # payload floats per cell
+_NF = 4            # fields per cell [sum_x, sum_y, sum_z, meta]
+_META_MOD = 128.0  # meta = key * 128 + count
+
+
+def _pack(cfg):
+    return cfg.pack_x, cfg.pack_y, cfg.pack_z
+
+
+def _sdims(cfg):
+    px, py, pz = _pack(cfg)
+    assert cfg.dim_x % px == 0 and cfg.dim_y % py == 0 and cfg.dim_z % pz == 0
+    return cfg.dim_x // px, cfg.dim_y // py, cfg.dim_z // pz
+
+
+def _cpr(cfg):
+    px, py, pz = _pack(cfg)
+    return px * py * pz
 
 
 class VoxelMap(NamedTuple):
-    """One feature class's map (corner, surf, or non-feature)."""
+    """One feature class's map (corner, surf, or non-feature).
 
-    cells: jnp.ndarray   # (C, 8) f32 rows [sum_xyz, count, key, pad]
+    cells: (Cs, cpr * 4) f32 — packed superrows, fields struct-of-arrays:
+    columns [0:cpr] sum_x, [cpr:2cpr] sum_y, [2cpr:3cpr] sum_z,
+    [3cpr:4cpr] meta.
+    """
+
+    cells: jnp.ndarray
+
+    # ---- flat per-cell views (tests / export) ----
+    def _field(self, i):
+        cpr = self.cells.shape[1] // _NF
+        return self.cells[:, i * cpr:(i + 1) * cpr].reshape(-1)
 
     @property
     def sum_rel(self):
-        return self.cells[:, 0:3]
+        return jnp.stack([self._field(0), self._field(1), self._field(2)],
+                         axis=-1)
+
+    @property
+    def meta(self):
+        return self._field(3)
 
     @property
     def count(self):
-        return self.cells[:, 3]
+        m = self.meta
+        return m - jnp.floor(m / _META_MOD) * _META_MOD
 
     @property
     def key(self):
-        return self.cells[:, 4]
+        return jnp.floor(self.meta / _META_MOD)
 
 
 def empty_map(cfg) -> VoxelMap:
-    c = cfg.dim_x * cfg.dim_y * cfg.dim_z
-    cells = jnp.zeros((c, _PAY), jnp.float32).at[:, 4].set(_EMPTY_KEY)
-    return VoxelMap(cells=cells)
+    sdx, sdy, sdz = _sdims(cfg)
+    return VoxelMap(cells=jnp.zeros((sdx * sdy * sdz, _cpr(cfg) * _NF),
+                                    jnp.float32))
 
 
 def _voxel_coords(pts, cfg):
-    """Integer voxel coordinates (floor) of points."""
+    """Integer fine-voxel coordinates (floor) of points."""
     return jnp.floor(pts / cfg.voxel_size).astype(jnp.int32)
 
 
-def _slot_and_key(v, cfg):
-    """Torus slot index and packed-quotient key (exact in f32) for voxel
-    coords v (..., 3)."""
-    dx, dy, dz = cfg.dim_x, cfg.dim_y, cfg.dim_z
-    mx, my, mz = v[..., 0] % dx, v[..., 1] % dy, v[..., 2] % dz
-    slot = (mx * dy + my) * dz + mz
-    qx = jnp.clip((v[..., 0] - mx) // dx + 32, 0, 63)
-    qy = jnp.clip((v[..., 1] - my) // dy + 32, 0, 63)
-    qz = jnp.clip((v[..., 2] - mz) // dz + 32, 0, 63)
-    key = ((qx << 12) | (qy << 6) | qz).astype(jnp.float32)
+def _super_decompose(sv, cfg):
+    """Torus slot index and epoch key for SUPER voxel coords sv (..., 3).
+
+    The key packs the per-axis torus period quotients (5 bits each, biased
+    +16: coverage +-16 periods ~ +-1.6 km at the full-map defaults) so one
+    f32 compare detects stale cells from a previous torus pass.
+    """
+    sdx, sdy, sdz = _sdims(cfg)
+    mx, my, mz = sv[..., 0] % sdx, sv[..., 1] % sdy, sv[..., 2] % sdz
+    slot = (mx * sdy + my) * sdz + mz
+    qx = jnp.clip((sv[..., 0] - mx) // sdx + 16, 0, 31)
+    qy = jnp.clip((sv[..., 1] - my) // sdy + 16, 0, 31)
+    qz = jnp.clip((sv[..., 2] - mz) // sdz + 16, 0, 31)
+    key = ((qx << 10) | (qy << 5) | qz).astype(jnp.float32)
     return slot, key
+
+
+def _cell_addr(v, cfg):
+    """(superrow slot, sub-cell index, epoch key) for fine voxel coords v."""
+    px, py, pz = _pack(cfg)
+    sv = jnp.stack([v[..., 0] // px, v[..., 1] // py, v[..., 2] // pz],
+                   axis=-1)
+    slot, key = _super_decompose(sv, cfg)
+    sub = ((v[..., 0] % px) * py + v[..., 1] % py) * pz + v[..., 2] % pz
+    return slot, sub, key
 
 
 def insert(vm: VoxelMap, pts, mask, cfg) -> VoxelMap:
@@ -95,29 +148,62 @@ def insert(vm: VoxelMap, pts, mask, cfg) -> VoxelMap:
     Cells whose stored key differs from the incoming one (stale aliases
     from a previous torus pass, or empty) are reset before accumulation —
     the MapMove-equivalent eviction.  Within one batch all points hitting
-    a slot share a key (they would have to be a torus period apart to
-    differ, beyond lidar range), so the reset scatter is idempotent.
+    a cell share a key (they would have to be a torus period apart to
+    differ, beyond lidar range), so every repair scatter is idempotent
+    under duplicate indices; only the sum/count accumulation relies on
+    scatter-add.
+
+    Works on the flattened (Cs * cpr * 4,) view: each point touches its
+    cell's four field slots [slot*4cpr + f*cpr + sub].
     """
-    pts = pts.astype(vm.cells.dtype)
+    cpr = _cpr(cfg)
+    row_f = cpr * _NF
+    flat = vm.cells.reshape(-1)
+    n_flat = flat.shape[0]
+    dtype = flat.dtype
+    pts = pts.astype(dtype)
+    N = pts.shape[0]
+
     v = _voxel_coords(pts, cfg)
-    slot, key = _slot_and_key(v, cfg)
-    c = vm.cells.shape[0]
-    maskf = mask.astype(vm.cells.dtype)
-    # masked-out points scatter out of bounds and are dropped
-    slot = jnp.where(mask, slot, c)
+    slot, sub, key = _cell_addr(v, cfg)
+    base = slot * row_f + sub                     # field 0 (sum_x) slot
+    fidx = jnp.stack([base, base + cpr, base + 2 * cpr, base + 3 * cpr],
+                     axis=-1)                     # (N,4)
+    fidx = jnp.where(mask[:, None], fidx, n_flat)  # masked -> dropped
+    maskf = mask.astype(dtype)
 
-    stored_key = vm.cells.at[slot, 4].get(mode="fill", fill_value=_EMPTY_KEY)
-    stale = (stored_key != key) & mask
-    reset_slot = jnp.where(stale, slot, c)
-    cells = vm.cells.at[reset_slot].set(0.0, mode="drop")
-    cells = cells.at[slot, 4].set(key, mode="drop")
+    meta0 = flat.at[fidx[:, 3]].get(mode="fill", fill_value=0.0)
+    key0 = jnp.floor(meta0 / _META_MOD)
+    cnt0 = meta0 - key0 * _META_MOD
+    fresh = ((key0 != key) | (cnt0 == 0)) & mask   # stale or empty
 
-    rel = pts - v.astype(pts.dtype) * cfg.voxel_size
-    payload = jnp.concatenate(
-        [rel * maskf[:, None], maskf[:, None],
-         jnp.zeros((pts.shape[0], _PAY - 4), pts.dtype)], axis=-1)
-    cells = cells.at[slot].add(payload, mode="drop")
-    return VoxelMap(cells=cells)
+    # 1. reset stale/empty target cells and stamp the new epoch key
+    ridx = jnp.where(fresh[:, None], fidx, n_flat)
+    stamp = jnp.concatenate(
+        [jnp.zeros((N, 3), dtype), (key * _META_MOD)[:, None]], axis=-1)
+    flat = flat.at[ridx.reshape(-1)].set(stamp.reshape(-1), mode="drop")
+
+    # 2. accumulate corner-relative sums and counts (meta += 1 per point)
+    rel = pts - v.astype(dtype) * cfg.voxel_size
+    payload = jnp.concatenate([rel * maskf[:, None], maskf[:, None]], axis=-1)
+    flat = flat.at[fidx.reshape(-1)].add(payload.reshape(-1), mode="drop")
+
+    # 3. saturate counts at count_cap by rescaling sums (bounded-inertia
+    # running mean; also keeps count within meta's 7-bit field)
+    vals = flat.at[fidx.reshape(-1)].get(mode="fill", fill_value=0.0)
+    vals = vals.reshape(N, _NF)
+    meta1 = vals[:, 3]
+    key1 = jnp.floor(meta1 / _META_MOD)
+    cnt1 = meta1 - key1 * _META_MOD
+    cap = jnp.asarray(cfg.count_cap, dtype)
+    scale = jnp.minimum(1.0, cap / jnp.maximum(cnt1, 1.0))
+    fixed = jnp.concatenate(
+        [vals[:, 0:3] * scale[:, None],
+         (key1 * _META_MOD + jnp.minimum(cnt1, cap))[:, None]], axis=-1)
+    oidx = jnp.where((cnt1 > cap)[:, None], fidx, n_flat)
+    flat = flat.at[oidx.reshape(-1)].set(fixed.reshape(-1), mode="drop")
+
+    return VoxelMap(cells=flat.reshape(vm.cells.shape))
 
 
 def insert_guard(pts, center, cfg):
@@ -131,12 +217,17 @@ def insert_guard(pts, center, cfg):
     return jnp.all(jnp.abs(pts - center[None, :]) < lim[None, :], axis=-1)
 
 
-def _stencil_offsets(cfg):
-    sx, sy, sz = cfg.stencil_x, cfg.stencil_y, cfg.stencil_z
-    ox, oy, oz = jnp.meshgrid(
-        jnp.arange(-sx, sx + 1), jnp.arange(-sy, sy + 1),
-        jnp.arange(-sz, sz + 1), indexing="ij")
-    return jnp.stack([ox.ravel(), oy.ravel(), oz.ravel()], axis=-1)  # (S,3)
+def _super_window(cfg):
+    """Static superrow-window shape covering the fine stencil.
+
+    A window of 2s+1 consecutive fine cells spans at most
+    (2s + p - 1)//p + 1 superrows of pack p per axis.
+    """
+    px, py, pz = _pack(cfg)
+    nbx = (2 * cfg.stencil_x + px - 1) // px + 1
+    nby = (2 * cfg.stencil_y + py - 1) // py + 1
+    nbz = (2 * cfg.stencil_z + pz - 1) // pz + 1
+    return nbx, nby, nbz
 
 
 def query_knn(vm: VoxelMap, q, mask, cfg):
@@ -146,43 +237,110 @@ def query_knn(vm: VoxelMap, q, mask, cfg):
     Returns (neighbors (M,K,3), valid (M,K) bool, dist2 (M,K)) with
     neighbors sorted by ascending distance; invalid entries have dist2=inf.
     Replaces `nearestKSearch(5)` over the matched cube's KD-tree.
+
+    The candidate set is every cell in the superrows covering the fine
+    stencil — a slight superset of the fine stencil itself (up to one
+    pack's worth of extra reach per axis), which only improves coverage;
+    the 5-NN are still exact nearest-by-centroid within the candidates.
     """
-    off = _stencil_offsets(cfg).astype(jnp.int32)          # (S,3)
-    v = _voxel_coords(q, cfg)                              # (M,3)
-    cells = v[:, None, :] + off[None, :, :]                # (M,S,3)
-    slot, key = _slot_and_key(cells, cfg)                  # (M,S)
-    rows = vm.cells[slot]                                  # (M,S,8) one gather
-    cnt = rows[..., 3]
-    ok = (rows[..., 4] == key) & (cnt > 0) & mask[:, None]
-    corner = cells.astype(q.dtype) * cfg.voxel_size
-    centroid = corner + rows[..., 0:3] / jnp.maximum(cnt, 1.0)[..., None]
-    d2 = jnp.sum((q[:, None, :] - centroid) ** 2, axis=-1)
+    px, py, pz = _pack(cfg)
+    nbx, nby, nbz = _super_window(cfg)
+    cpr = _cpr(cfg)
+    S = nbx * nby * nbz
+    dtype = q.dtype
+    M = q.shape[0]
+
+    v = _voxel_coords(q, cfg)                               # (M,3)
+    sx0 = (v[:, 0] - cfg.stencil_x) // px
+    sy0 = (v[:, 1] - cfg.stencil_y) // py
+    sz0 = (v[:, 2] - cfg.stencil_z) // pz
+    ox, oy, oz = jnp.meshgrid(jnp.arange(nbx), jnp.arange(nby),
+                              jnp.arange(nbz), indexing="ij")
+    sv = jnp.stack([sx0[:, None] + ox.ravel()[None, :],
+                    sy0[:, None] + oy.ravel()[None, :],
+                    sz0[:, None] + oz.ravel()[None, :]], axis=-1)  # (M,S,3)
+    slot, key = _super_decompose(sv, cfg)                   # (M,S)
+
+    rows = vm.cells[slot]                                   # (M,S,4cpr) gather
+    # field unpack = lane slices (no minor-dim reshape/transpose)
+    sum_x = rows[..., 0:cpr]
+    sum_y = rows[..., cpr:2 * cpr]
+    sum_z = rows[..., 2 * cpr:3 * cpr]
+    meta = rows[..., 3 * cpr:4 * cpr]
+    key_st = jnp.floor(meta / _META_MOD)
+    cnt = meta - key_st * _META_MOD
+    ok = (key_st == key[..., None]) & (cnt > 0) & mask[:, None, None]
+
+    # restrict candidates to the EXACT fine stencil: the superrow window
+    # overshoots by up to pack-1 cells per axis, and that extra reach
+    # measurably degrades ATE (sparse far-flung 5-NN sets pass the fit
+    # gates during warmup); candidate fine coord minus query voxel must lie
+    # within +-stencil per axis
+    subg = jnp.meshgrid(jnp.arange(px), jnp.arange(py), jnp.arange(pz),
+                        indexing="ij")
+    for ax, (sub_i, p_i, s_i) in enumerate(
+            [(subg[0], px, cfg.stencil_x), (subg[1], py, cfg.stencil_y),
+             (subg[2], pz, cfg.stencil_z)]):
+        off = (sv[..., ax:ax + 1] * p_i + sub_i.ravel()[None, None, :]
+               - v[:, None, ax:ax + 1])
+        ok = ok & (jnp.abs(off) <= s_i)
+    inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
+
+    # candidate centroid relative to the QUERY point, per component:
+    #   centroid - q = (superrow base + sub-cell offset) * leaf + sum/cnt - q
+    subx, suby, subz = jnp.meshgrid(jnp.arange(px), jnp.arange(py),
+                                    jnp.arange(pz), indexing="ij")
+    sub_x = (subx.ravel().astype(dtype) * cfg.voxel_size)[None, None, :]
+    sub_y = (suby.ravel().astype(dtype) * cfg.voxel_size)[None, None, :]
+    sub_z = (subz.ravel().astype(dtype) * cfg.voxel_size)[None, None, :]
+    bx = sv[..., 0:1].astype(dtype) * (px * cfg.voxel_size) - q[:, None, 0:1]
+    by = sv[..., 1:2].astype(dtype) * (py * cfg.voxel_size) - q[:, None, 1:2]
+    bz = sv[..., 2:3].astype(dtype) * (pz * cfg.voxel_size) - q[:, None, 2:3]
+    dx = bx + sub_x + sum_x * inv_cnt                       # (M,S,cpr)
+    dy = by + sub_y + sum_y * inv_cnt
+    dz = bz + sub_z + sum_z * inv_cnt
+    d2 = dx * dx + dy * dy + dz * dz
     d2 = jnp.where(ok, d2, jnp.inf)
-    neg, idx = jax.lax.top_k(-d2, cfg.knn)                 # (M,K)
-    nbr = jnp.take_along_axis(centroid, idx[..., None], axis=1)
-    valid = jnp.take_along_axis(ok, idx, axis=1)
+
+    # k smallest via top_k on the flattened candidate row.  (An argmin-loop
+    # variant that avoids the (M,S,cpr)->(M,S*cpr) relayout measured 1.6x
+    # SLOWER than top_k here — scripts/query_bench.py.)
+    C = S * cpr
+    neg, idx = jax.lax.top_k(-d2.reshape(M, C), cfg.knn)    # (M,K)
+    take = lambda a: jnp.take_along_axis(a.reshape(M, C), idx, axis=1)
+    nbr = jnp.stack([take(dx), take(dy), take(dz)], axis=-1) + q[:, None, :]
+    valid = take(ok)
     return nbr, valid, -neg
 
 
 def cell_centroids(vm: VoxelMap, cfg):
     """All valid cell centroids — for map export / visualization.
 
-    Returns (C,3) centroids and a (C,) validity mask; the voxel corner is
-    reconstructed from the slot index and the packed quotient key.
+    Returns (C,3) centroids and a (C,) validity mask; the fine-voxel corner
+    is reconstructed from the cell's flat index and its epoch key.
     """
-    dx, dy, dz = cfg.dim_x, cfg.dim_y, cfg.dim_z
-    c = dx * dy * dz
-    idx = jnp.arange(c, dtype=jnp.int32)
-    mz = idx % dz
-    my = (idx // dz) % dy
-    mx = idx // (dz * dy)
-    keyi = vm.cells[:, 4].astype(jnp.int32)
-    qz = (keyi & 63) - 32
-    qy = ((keyi >> 6) & 63) - 32
-    qx = ((keyi >> 12) & 63) - 32
-    v = jnp.stack([qx * dx + mx, qy * dy + my, qz * dz + mz], axis=-1)
-    cnt = vm.cells[:, 3]
-    valid = (vm.cells[:, 4] >= 0) & (cnt > 0)
+    px, py, pz = _pack(cfg)
+    sdx, sdy, sdz = _sdims(cfg)
+    cpr = _cpr(cfg)
+    n = sdx * sdy * sdz * cpr
+    idx = jnp.arange(n, dtype=jnp.int32)
+    slot = idx // cpr
+    sub = idx % cpr
+    mz = slot % sdz
+    my = (slot // sdz) % sdy
+    mx = slot // (sdz * sdy)
+    keyi = jnp.floor(vm.meta / _META_MOD).astype(jnp.int32)
+    qz = (keyi & 31) - 16
+    qy = ((keyi >> 5) & 31) - 16
+    qx = ((keyi >> 10) & 31) - 16
+    sux = sub // (py * pz)
+    suy = (sub // pz) % py
+    suz = sub % pz
+    v = jnp.stack([(qx * sdx + mx) * px + sux,
+                   (qy * sdy + my) * py + suy,
+                   (qz * sdz + mz) * pz + suz], axis=-1)
+    cnt = vm.count
+    valid = cnt > 0
     centroid = (v.astype(jnp.float32) * cfg.voxel_size
-                + vm.cells[:, 0:3] / jnp.maximum(cnt, 1.0)[:, None])
+                + vm.sum_rel / jnp.maximum(cnt, 1.0)[:, None])
     return centroid, valid

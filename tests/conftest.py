@@ -11,7 +11,13 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's parallel LLVM codegen intermittently segfaults this container's
+# toolchain on large programs (observed ~40 tests into a full-suite run);
+# serialize it — compile time barely changes, crashes stop.
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -25,3 +31,18 @@ jax.config.update("jax_platforms", "cpu")
 # construct f32 arrays explicitly so f32 behavior is still exercised.
 jax.config.update("jax_enable_x64", True)
 
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU in this container segfaults inside backend_compile after ~40
+    accumulated program compilations in one process (reproducible at the
+    same point across runs, flags made no difference).  Dropping the live
+    executables between test modules keeps the compiler below the cliff."""
+    yield
+    import jax
+
+    jax.clear_caches()

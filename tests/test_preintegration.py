@@ -184,3 +184,34 @@ def test_sqrt_info_f32_conditioning():
     recon = info @ cov64
     # diagonal of info @ cov ~ identity
     np.testing.assert_allclose(np.diag(recon), np.ones(15), rtol=0.05)
+
+
+def test_parallel_matches_sequential():
+    """The log-depth formulation must reproduce the reference-shaped
+    sequential scan bit-for-bit up to f32 roundoff."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mmloam_tpu.config import ImuConfig
+    from mmloam_tpu.ops import preintegration as pre
+
+    rng = np.random.default_rng(7)
+    M = 48
+    cfg = ImuConfig()
+    acc = jnp.asarray(rng.normal(0, 0.3, (M, 3)) + [0, 0, 1.0],
+                      jnp.float32)
+    gyr = jnp.asarray(rng.normal(0, 0.5, (M, 3)), jnp.float32)
+    dt = jnp.asarray(rng.uniform(0.004, 0.006, M), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=M) > 0.2)
+    bg = jnp.asarray([0.01, -0.02, 0.005], jnp.float32)
+    ba = jnp.asarray([-0.03, 0.01, 0.02], jnp.float32)
+
+    a = pre.preintegrate(acc, gyr, dt, mask, bg, ba, cfg)
+    b = pre.preintegrate_sequential(acc, gyr, dt, mask, bg, ba, cfg)
+    np.testing.assert_allclose(np.asarray(a.dq), np.asarray(b.dq), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(a.dp), np.asarray(b.dp), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a.dv), np.asarray(b.dv), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a.jac), np.asarray(b.jac),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.cov), np.asarray(b.cov),
+                               atol=1e-9, rtol=2e-3)
+    np.testing.assert_allclose(float(a.dtime), float(b.dtime), rtol=1e-6)
