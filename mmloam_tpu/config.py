@@ -156,6 +156,13 @@ class SolverConfig:
     # and defeats the localizability check in corridors; 0 disables.
     plane_scatter_ratio: float = 0.01
     degenerate_sv: float = 2.0       # smallest singular value gate (:553)
+    # Re-refine the gravity vector against the sliding window every N
+    # scans (0 = reference behavior: gravity frozen at init,
+    # unionPoseEstimation.cpp:577).  Initializing while the rig
+    # accelerates leaves a residual gravity tilt that bleeds velocity at
+    # g*sin(tilt) per second forever; the window poses are lidar-pinned,
+    # so a small GN over [tilt, window velocities] recovers it online.
+    gravity_refine_every: int = 10
     corner_cnt_gate_hori: int = 100  # pose-acceptance / merge gates (:1041,:751)
     corner_cnt_gate_velo: int = 50
     map_move_dist_sq: float = 0.5    # map update min move (m^2) (:1083,:1125)
@@ -175,6 +182,15 @@ class FailsafeConfig:
     # keeps one bad degenerate solve from becoming permanent dead-reckoning
     # runaway (the reference has no guard here and relies on Ceres behaving)
     max_pred_delta: float = 1.0
+    # When the localizability check flags failure (sv_min < degenerate_sv)
+    # AND the optimized newest pose jumped further than this from the
+    # prediction, the whole solve is untrusted and the window reverts to
+    # the predicted states: in a degenerate corridor the cost surface is
+    # flat along the unobservable direction and the solver can slide
+    # meters per scan on junk-factor noise (the reference commits such
+    # poses too, Estimator.cpp:1046; this guard dead-reckons through the
+    # degenerate stretch instead and re-anchors once sv recovers)
+    max_solve_jump: float = 0.3
 
 
 @dataclass(frozen=True)

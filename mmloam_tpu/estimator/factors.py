@@ -187,6 +187,17 @@ def localizability(normals, valid, cfg):
 # residuals (evaluated every solver iteration at the live state)
 # --------------------------------------------------------------------------
 
+def _safe_norm(v, eps=1e-12):
+    """|v| with a finite gradient at v = 0.
+
+    jnp.linalg.norm's gradient is NaN at the origin; a residual passing
+    exactly through zero (point on its target line/plane) then poisons the
+    whole normal-equation assembly via one NaN Jacobian row — and the LM
+    loop silently rejects every subsequent step.
+    """
+    return jnp.sqrt(jnp.sum(v * v, axis=-1) + eps)
+
+
 def line_residual(x6, tgt: LineTargets, Rbl, tbl):
     """Point-to-line residuals (K,) in lidar_m units.
 
@@ -194,7 +205,7 @@ def line_residual(x6, tgt: LineTargets, Rbl, tbl):
     reweighted by 1 - 0.9|d|/sqrt(|P|).
     """
     pw = _world_points(x6, tgt.p_l, Rbl, tbl)
-    d = jnp.linalg.norm(jnp.cross(pw - tgt.c, tgt.u), axis=-1)
+    d = _safe_norm(jnp.cross(pw - tgt.c, tgt.u))
     pn = jnp.maximum(jnp.linalg.norm(pw, axis=-1), 1e-6)
     w = 1.0 - 0.9 * jnp.abs(d) / jnp.sqrt(jnp.sqrt(pn))
     return jnp.where(tgt.valid, w * d, 0.0)
@@ -208,7 +219,7 @@ def plane_residual(x6, tgt: PlaneTargets, Rbl, tbl):
     pw = _world_points(x6, tgt.p_l, Rbl, tbl)
     r0 = pw - tgt.proj
     pn = jnp.maximum(jnp.linalg.norm(pw, axis=-1), 1e-6)
-    w = 1.0 - 0.9 * jnp.linalg.norm(r0, axis=-1) / jnp.sqrt(jnp.sqrt(pn))
+    w = 1.0 - 0.9 * _safe_norm(r0) / jnp.sqrt(jnp.sqrt(pn))
     r = jnp.einsum("kij,kj->ki", tgt.sqrt_info, w[:, None] * r0)
     return jnp.where(tgt.valid[:, None], r, 0.0)
 

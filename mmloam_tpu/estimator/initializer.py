@@ -63,15 +63,33 @@ def _init_residuals(theta, consts):
     g_I = jnp.array([0.0, 0.0, -consts["gnorm"]], theta.dtype)
 
     out = []
-    # Cost_Initialization_Prior_R (ceresfunc.h:781-818)
+    # Cost_Initialization_Prior_R (ceresfunc.h:781-818).  The reference
+    # pins the gravity rotation to the averaged-accelerometer seed with
+    # sqrt-info 2000, which assumes a quasi-static start: initializing
+    # during acceleration then bakes the acceleration into gravity (a 0.6
+    # m/s^2 ramp tilts gravity 3.5 deg and velocity decays ever after).
+    # The prior only needs to regularize the yaw-around-gravity null
+    # direction; a weak weight lets the IMU pair factors (which see the
+    # lidar-pose finite differences) separate acceleration from gravity.
     Rwg = lie.exp_matrix(r)
     prior_R = lie.exp_matrix(consts["prior_r"])
-    out.append(2000.0 * lie.log_matrix(Rwg.T @ prior_R))
+    out.append(consts["gravity_prior_w"] * lie.log_matrix(Rwg.T @ prior_R))
     # bias priors (ceresfunc.h:744-777)
     out.append(1000.0 * ba)
     out.append(4000.0 * bg)
-    # velocity priors
-    out.append((4000.0 * (v - consts["prior_v"])).reshape(-1))
+    # velocity information from the lidar poses.  The reference pins each
+    # ENDPOINT velocity to the interval-average finite difference
+    # (prior_bv, :480-491) — exact only at constant velocity; during an
+    # acceleration ramp the 4000-weight priors force the mismatch into the
+    # gravity estimate instead.  The trapezoidal two-state form
+    # (v_i + v_j)/2 == dpos/dt is exact under constant acceleration and
+    # keeps the same information content; v[0] keeps a weak absolute prior
+    # so the joint problem stays full-rank.
+    dtp = consts["dt"][1:, None]
+    v_mid = 0.5 * (v[:-1] + v[1:])
+    fd = consts["dpos"][1:] / jnp.maximum(dtp, 1e-6)
+    out.append((4000.0 * (v_mid - fd)).reshape(-1))
+    out.append(40.0 * (v[0] - consts["prior_v"][0]))
 
     # IMU pair factors (ceresfunc.h:654-740), pairs (i-1, i)
     def pair(i):
@@ -98,7 +116,8 @@ def _init_residuals(theta, consts):
     return jnp.concatenate(out)
 
 
-def initialize(kf_P, kf_Q, avg_acc, preint9, gnorm, Rlb, tlb, iters: int = 20):
+def initialize(kf_P, kf_Q, avg_acc, preint9, gnorm, Rlb, tlb, iters: int = 20,
+               gravity_prior_w: float = 20.0):
     """Run the init solve over K keyframes.
 
     kf_P (K,3), kf_Q (K,4): LIDAR keyframe poses; avg_acc (3,): average
@@ -135,6 +154,7 @@ def initialize(kf_P, kf_Q, avg_acc, preint9, gnorm, Rlb, tlb, iters: int = 20):
     sqrt_info9 = jax.vmap(si9)(preint9["cov"])
 
     consts = dict(ri=ri, dpos=dpos, prior_v=prior_v, prior_r=prior_r,
+                  gravity_prior_w=gravity_prior_w,
                   gnorm=gnorm, dq=preint9["dq"], dp=preint9["dp"],
                   dv=preint9["dv"], jac=preint9["jac"], dt=dt,
                   meas_bg=preint9["bg"], meas_ba=preint9["ba"],
@@ -166,3 +186,76 @@ def initialize(kf_P, kf_Q, avg_acc, preint9, gnorm, Rlb, tlb, iters: int = 20):
           & jnp.all(jnp.linalg.norm(v - prior_v, axis=-1) <= 2.0)
           & jnp.all(jnp.isfinite(theta)))
     return InitResult(ok=ok, gravity=gravity, v=v, bg=bg, ba=ba)
+
+
+def refine_gravity(x, preint, pair_valid, gravity, gnorm, iters: int = 8,
+                   prior_w: float = 50.0):
+    """Online gravity re-refinement against the sliding window.
+
+    The one-shot init estimates gravity from pre-init odometry poses; if
+    the rig is accelerating during init those poses lag and a residual
+    gravity tilt (~1 deg per 0.1 g of unmodelled acceleration) survives —
+    which the window solver cannot fix because gravity is not a state.
+    The tilt then bleeds velocity at g*sin(tilt) per second forever (the
+    reference has the same blind spot, unionPoseEstimation.cpp:577 fixes
+    GravityVector at init).  This pass re-solves [gravity tilt, window
+    velocities] against the CURRENT window poses (lidar-pinned, far better
+    than pre-init odometry) and the stored preintegrations; a weak prior
+    anchors the yaw-around-gravity null direction to the current estimate.
+
+    x: (W,15) window states; preint: the pipeline's stored per-pair dict
+    (sqrt_info is the whitened 15-dim factor; bias deltas are zero here
+    because biases stay at their current estimates, so only columns 0:9
+    of it are exercised); pair_valid: (W,) bool.  Returns (gravity', v').
+    """
+    dtype = x.dtype
+    W = x.shape[0]
+    g_I = jnp.array([0.0, 0.0, -gnorm], dtype)
+    r0 = _gravity_seed(gravity, gnorm)
+    Ri = jax.vmap(lie.exp_matrix)(x[:, 3:6])
+
+    def residuals(theta):
+        r = theta[0:3]
+        v = theta[3:].reshape(W, 3)
+        Rwg = lie.exp_matrix(r)
+        g_w = Rwg @ g_I
+        out = [prior_w * (r - r0)]
+
+        def pair(i):
+            RiT = Ri[i - 1].T
+            dT = preint["dt"][i]
+            rP = RiT @ (x[i, 0:3] - x[i - 1, 0:3] - v[i - 1] * dT
+                        - 0.5 * g_w * dT * dT) - preint["dp"][i]
+            rel = lie.quat_to_matrix(
+                lie.quat_conj(preint["dq"][i])) @ RiT @ Ri[i]
+            rPhi = lie.log_matrix(rel)
+            rV = RiT @ (v[i] - v[i - 1] - g_w * dT) - preint["dv"][i]
+            r15 = jnp.concatenate([rP, rPhi, rV, jnp.zeros(6, dtype)])
+            m = pair_valid[i].astype(dtype)
+            return m * (preint["sqrt_info"][i] @ r15)
+
+        for i in range(1, W):
+            out.append(pair(i))
+        return jnp.concatenate(out)
+
+    theta0 = jnp.concatenate([r0, x[:, 6:9].reshape(-1)])
+
+    def gn(theta, _):
+        res = residuals(theta)
+        J = jax.jacfwd(residuals)(theta)
+        H = J.T @ J
+        d = jnp.diagonal(H)
+        s = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-8))
+        A = H * s[:, None] * s[None, :] + 1e-5 * jnp.eye(
+            H.shape[0], dtype=dtype)
+        dx = s * jnp.linalg.solve(A, -(s * (J.T @ res)))
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        return theta + dx, None
+
+    theta, _ = jax.lax.scan(gn, theta0, None, length=iters)
+    r = theta[0:3]
+    v = theta[3:].reshape(W, 3)
+    g_new = lie.exp_matrix(r) @ g_I
+    ok = jnp.all(jnp.isfinite(theta))
+    return (jnp.where(ok, g_new, gravity),
+            jnp.where(ok, v, x[:, 6:9]))

@@ -429,6 +429,15 @@ def step(state: LIOState, scan: ScanInput, cfg):
             n_line=jnp.int32(0), n_plane=jnp.int32(0))
 
     res = jax.lax.cond(can_estimate, est_branch, skip_branch, None)
+    # solve-jump guard (cfg.failsafe.max_solve_jump): a failed
+    # localizability check plus a large newest-pose jump means the solver
+    # slid along a flat cost direction — keep the predicted window instead
+    jump = jnp.linalg.norm(res.x[-1, 0:3] - x_w[-1, 0:3])
+    revert = res.fail & (jump > cfg.failsafe.max_solve_jump)
+    res = res._replace(x=jnp.where(revert, x_w, res.x),
+                       prior=jax.tree.map(
+                           lambda a, b: jnp.where(revert, a, b),
+                           prior_w, res.prior))
     # marginalization gating happened inside estimate
     prior_next = res.prior
 
@@ -485,6 +494,20 @@ def step(state: LIOState, scan: ScanInput, cfg):
                                   cfg.failsafe.max_pred_delta),
                       state.dtb),
         step_idx=state.step_idx + 1)
+
+    # ---- 9b. periodic online gravity re-refinement --------------------
+    if cfg.solver.gravity_refine_every > 0:
+        do_refine = (state.inited & full & can_estimate & (~res.fail)
+                     & (new_state.step_idx % cfg.solver.gravity_refine_every
+                        == 0))
+
+        def refine(s):
+            g_new, v_new = initializer.refine_gravity(
+                s.x, s.preint, s.pair_valid, s.gravity, cfg.imu.gnorm)
+            return s._replace(gravity=g_new,
+                              x=s.x.at[:, 6:9].set(v_new))
+
+        new_state = jax.lax.cond(do_refine, refine, lambda s: s, new_state)
 
     new_state = jax.lax.cond(
         state.inited | (cfg.imu_mode <= 1),

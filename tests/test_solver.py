@@ -205,3 +205,75 @@ def test_marginalization_preserves_linear_minimum():
     g = np.array(gfun(x[0]))
     np.testing.assert_allclose(g, H_star @ np.array(x[0]) + b_star, rtol=1e-6,
                                atol=1e-6)
+
+
+def test_velocity_recovery():
+    """The window solver must recover velocity from position evidence.
+
+    Regression for two silent failure modes found together: (1) a zero
+    residual (point exactly on its target plane) produced a NaN Jacobian
+    through jnp.linalg.norm's gradient, poisoning the normal equations so
+    every LM step was rejected; (2) the convergence test looked only at
+    pose deltas, so a velocity-only step declared convergence immediately.
+    Setup: positions pinned at a constant-velocity truth by plane factors,
+    exact preintegration, velocities started wrong — the solve must drive
+    them to the true value.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+    from mmloam_tpu.config import tiny_config
+    from mmloam_tpu.estimator import solver, factors
+    from mmloam_tpu.ops import preintegration as pre
+
+    cfg = tiny_config()
+    W, dt, vtrue = 5, 0.1, 3.0
+    g = jnp.asarray([0.0, 0.0, -cfg.imu.gnorm], jnp.float32)
+    P_true = np.array([[vtrue * dt * i, 0, 0] for i in range(W)], np.float32)
+
+    M = 20
+    acc = np.zeros((M, 3), np.float32)
+    acc[:, 2] = 1.0
+    dts = np.full(M, dt / M, np.float32)
+    r = pre.preintegrate(jnp.asarray(acc), jnp.zeros((M, 3), jnp.float32),
+                         jnp.asarray(dts), jnp.ones(M, bool),
+                         jnp.zeros(3), jnp.zeros(3), cfg.imu)
+    si = (cfg.imu.lidar_m * pre.sqrt_info_from_cov(r.cov)).astype(jnp.float32)
+    tile = lambda a: jnp.tile(jnp.asarray(np.asarray(a), jnp.float32),
+                              (W,) + (1,) * np.ndim(np.asarray(a)))
+    preint = dict(dq=tile(r.dq), dp=tile(r.dp), dv=tile(r.dv),
+                  jac=tile(np.asarray(r.jac)), sqrt_info=tile(np.asarray(si)),
+                  dt=jnp.full((W,), dt, jnp.float32),
+                  bg=jnp.zeros((W, 3), jnp.float32),
+                  ba=jnp.zeros((W, 3), jnp.float32))
+    pair_valid = jnp.asarray([False, True, True, True, True])
+
+    K = 64
+    rng = np.random.default_rng(0)
+    p_l = rng.uniform(-3, 3, (W, K, 3)).astype(np.float32)
+    proj = np.zeros((W, K, 3), np.float32)
+    sqrt_info = np.zeros((W, K, 3, 3), np.float32)
+    for f in range(W):
+        for k in range(K):
+            n_ = rng.normal(size=3)
+            n_ /= np.linalg.norm(n_)
+            proj[f, k] = p_l[f, k] + P_true[f]   # plane through the true point
+            sqrt_info[f, k, 0] = n_
+    pt = factors.PlaneTargets(p_l=jnp.asarray(p_l), proj=jnp.asarray(proj),
+                              sqrt_info=jnp.asarray(sqrt_info),
+                              valid=jnp.ones((W, K), bool))
+    lt = factors.LineTargets(p_l=jnp.zeros((W, 1, 3), jnp.float32),
+                             c=jnp.zeros((W, 1, 3), jnp.float32),
+                             u=jnp.tile(jnp.asarray([1.0, 0, 0], jnp.float32),
+                                        (W, 1, 1)),
+                             valid=jnp.zeros((W, 1), bool))
+
+    x0 = np.zeros((W, 15), np.float32)
+    x0[:, 0:3] = P_true
+    x0[:, 6] = -1.0                                   # wrong velocity
+    res = solver.lm_solve(jnp.asarray(x0), lt, pt, preint, pair_valid,
+                          solver.empty_prior(), jnp.ones(W, bool), g,
+                          jnp.eye(3, dtype=jnp.float32),
+                          jnp.zeros(3, jnp.float32), cfg, 30)
+    x = np.asarray(res.x)
+    np.testing.assert_allclose(x[:, 6], vtrue, atol=1e-2)
+    np.testing.assert_allclose(x[:, 0], P_true[:, 0], atol=1e-3)
