@@ -114,6 +114,12 @@ class SolverConfig:
     window: int = 5                  # SLIDEWINDOWSIZE (Estimator.h:30)
     max_outer_iters: int = 5         # outer relinearize/assoc loop (:1210)
     max_inner_iters: int = 10        # dogleg iterations per outer (:1428)
+    # inner-iteration budget for outer rounds AFTER the first: those solves
+    # start from an already-optimized window (only the association targets
+    # moved), so they converge in a couple of steps — the reference spends
+    # its full 10-iteration Ceres budget there, but each LM iteration is a
+    # full residual/Jacobian pass and dominates the step program
+    max_inner_iters_later: int = 4
     thres_dist: float = 1.0          # 5th-NN squared-dist gate, full window
     thres_dist_short: float = 25.0   # short-window gate (:1207)
     plan_weight_tan: float = 0.0003  # tangential plane weight (:1203)

@@ -126,14 +126,18 @@ def estimate(x0, stacks: Stacks, vm_corner, vm_surf, preint, pair_valid,
     refresh_full = jnp.arange(1, s.max_outer_iters) < s.full_reassoc_rounds
 
     def round_fn(carry, inp):
-        thres_i, refresh_flag = inp
+        thres_i, refresh_flag, inner_cap = inp
         x, lt, pt, deg, fail, sv, conv, fresh = carry
         # unchanged targets + converged LM: further solves are identical —
         # `skip` zeroes the solve's iterations (the reference's outer
         # convergence break, Estimator.cpp:1448)
+        # short-window (warmup) rounds re-associate at widening thresholds
+        # and genuinely need the full budget; only full-window later rounds
+        # are capped
+        cap = jnp.where(full_window, inner_cap, s.max_inner_iters)
         res = solver.lm_solve(
             x, lt, pt, preint, pair_valid, prior, frame_valid, gravity,
-            Rbl, tbl, cfg, s.max_inner_iters, huber_delta=huber,
+            Rbl, tbl, cfg, cap, huber_delta=huber,
             skip=conv & ~fresh)
         x = res.x
         conv = res.converged
@@ -155,16 +159,22 @@ def estimate(x0, stacks: Stacks, vm_corner, vm_surf, preint, pair_valid,
                                              frozen, None)
         return (x, lt, pt, deg, fail, sv, conv, do_refresh), None
 
+    # the first solve (from the predicted window) gets the full budget;
+    # later rounds start from an optimized window and get a short one
+    caps = jnp.asarray([s.max_inner_iters]
+                       + [s.max_inner_iters_later] * (s.max_outer_iters - 2),
+                       jnp.int32)
     carry0 = (x0, lt0, pt0, deg0, fail0, sv0, jnp.asarray(False),
               jnp.asarray(True))
     (x, lt, pt, deg, fail, sv, conv, fresh), _ = jax.lax.scan(
-        round_fn, carry0, (sched[1:], refresh_full))
+        round_fn, carry0, (sched[1:], refresh_full, caps))
     # final solve with the last associations (no-op if already converged
     # on unchanged targets)
     res = solver.lm_solve(x, lt, pt, preint, pair_valid, prior,
                           frame_valid, gravity, Rbl, tbl, cfg,
-                          s.max_inner_iters, huber_delta=huber,
-                          skip=conv & ~fresh)
+                          jnp.where(full_window, s.max_inner_iters_later,
+                                    s.max_inner_iters),
+                          huber_delta=huber, skip=conv & ~fresh)
     x = res.x
 
     new_prior = solver.marginalize(x, lt, pt, preint, prior, gravity,

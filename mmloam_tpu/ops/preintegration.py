@@ -96,25 +96,37 @@ def preintegrate(acc, gyr, dt, mask, bg, ba, imu_cfg) -> PreintResult:
     a_hat = jax.vmap(lie.hat)(a)
     Ra_hat = jnp.einsum("kij,kjl->kil", Rk, a_hat)
 
-    A = jnp.broadcast_to(jnp.eye(15, dtype=dtype), (M, 15, 15))
-    A = A.at[:, 0:3, 3:6].set(-0.5 * Ra_hat * dt2[:, None, None])
-    A = A.at[:, 0:3, 6:9].set(eye3[None] * dt_m[:, None, None])
-    A = A.at[:, 0:3, 12:15].set(-0.5 * Rk * dt2[:, None, None])
-    A = A.at[:, 3:6, 3:6].set(jnp.swapaxes(dR, -1, -2))
-    A = A.at[:, 3:6, 9:12].set(-Jr * dt_m[:, None, None])
-    A = A.at[:, 6:9, 3:6].set(-Ra_hat * dt_m[:, None, None])
-    A = A.at[:, 6:9, 12:15].set(-Rk * dt_m[:, None, None])
+    # block-concatenated assembly: eight .at[].set on a broadcast eye
+    # compile to per-step dynamic-update-slices (~2.6 ms/scan measured);
+    # concatenation fuses into one materialization
+    I3 = jnp.broadcast_to(eye3, (M, 3, 3))
+    Z3 = jnp.zeros((M, 3, 3), dtype)
+    dt_c = dt_m[:, None, None]
+    dt2_c = dt2[:, None, None]
+    block_rows = [
+        [I3, -0.5 * Ra_hat * dt2_c, I3 * dt_c, Z3, -0.5 * Rk * dt2_c],
+        [Z3, jnp.swapaxes(dR, -1, -2), Z3, -Jr * dt_c, Z3],
+        [Z3, -Ra_hat * dt_c, I3, Z3, -Rk * dt_c],
+        [Z3, Z3, Z3, I3, Z3],
+        [Z3, Z3, Z3, Z3, I3],
+    ]
+    A = jnp.concatenate(
+        [jnp.concatenate(row, axis=2) for row in block_rows], axis=1)
     # masked steps: exp(0)=I and dt=0 already make A=I; re-force the (3:6,
     # 3:6) block which holds dR.T regardless of dt
     A = jnp.where(mask[:, None, None], A,
                   jnp.broadcast_to(jnp.eye(15, dtype=dtype), (M, 15, 15)))
 
-    B = jnp.zeros((M, 15, 12), dtype)
-    B = B.at[:, 0:3, 3:6].set(0.5 * Rk * dt2[:, None, None])
-    B = B.at[:, 3:6, 0:3].set(Jr * dt_m[:, None, None])
-    B = B.at[:, 6:9, 3:6].set(Rk * dt_m[:, None, None])
-    B = B.at[:, 9:12, 6:9].set(eye3[None] * dt_m[:, None, None])
-    B = B.at[:, 12:15, 9:12].set(eye3[None] * dt_m[:, None, None])
+    Z33 = jnp.zeros((M, 3, 3), dtype)
+    b_rows = [
+        [Z33, 0.5 * Rk * dt2_c, Z33, Z33],
+        [Jr * dt_c, Z33, Z33, Z33],
+        [Z33, Rk * dt_c, Z33, Z33],
+        [Z33, Z33, I3 * dt_c, Z33],
+        [Z33, Z33, Z33, I3 * dt_c],
+    ]
+    B = jnp.concatenate(
+        [jnp.concatenate(row, axis=2) for row in b_rows], axis=1)
 
     # (3) jac = A_{M-1} @ ... @ A_0: prefix combos with combine(x,y) = y @ x
     def apply_then(x, y):

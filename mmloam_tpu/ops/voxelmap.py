@@ -230,18 +230,15 @@ def _super_window(cfg):
     return nbx, nby, nbz
 
 
-def query_knn(vm: VoxelMap, q, mask, cfg):
-    """k nearest map centroids for each query point.
+def query_candidates(vm: VoxelMap, q, mask, cfg):
+    """Stencil candidate block for each query point — no selection.
 
-    q: (M, 3) world-frame queries, mask: (M,) validity.
-    Returns (neighbors (M,K,3), valid (M,K) bool, dist2 (M,K)) with
-    neighbors sorted by ascending distance; invalid entries have dist2=inf.
-    Replaces `nearestKSearch(5)` over the matched cube's KD-tree.
-
-    The candidate set is every cell in the superrows covering the fine
-    stencil — a slight superset of the fine stencil itself (up to one
-    pack's worth of extra reach per axis), which only improves coverage;
-    the 5-NN are still exact nearest-by-centroid within the candidates.
+    q: (M, 3) world-frame queries, mask: (M,) validity.  Returns
+    (dx, dy, dz, d2, ok), all (M, S, cpr): per-candidate centroid offsets
+    FROM THE QUERY (centroid - q, per component), squared distances
+    (inf where invalid), and validity.  Consumers reduce over the
+    candidate axes (masked moment sums, k-smallest selection) without any
+    further gathers — the whole block stays inside one fusion.
     """
     px, py, pz = _pack(cfg)
     nbx, nby, nbz = _super_window(cfg)
@@ -301,10 +298,49 @@ def query_knn(vm: VoxelMap, q, mask, cfg):
     dz = bz + sub_z + sum_z * inv_cnt
     d2 = dx * dx + dy * dy + dz * dz
     d2 = jnp.where(ok, d2, jnp.inf)
+    return dx, dy, dz, d2, ok
 
-    # k smallest via top_k on the flattened candidate row.  (An argmin-loop
-    # variant that avoids the (M,S,cpr)->(M,S*cpr) relayout measured 1.6x
-    # SLOWER than top_k here — scripts/query_bench.py.)
+
+def select_k_smallest(d2, ok, k: int):
+    """Value-threshold k-smallest selection over the candidate axes.
+
+    Returns (t_k (M,), n (M,), w (M,S,cpr)): the k-th distinct smallest
+    distance (inf when fewer than k valid candidates), the selected count,
+    and the selection mask.  Exact ties at the threshold are all selected
+    (n can exceed k; the kd-tree this replaces breaks such ties
+    arbitrarily) — consumers divide by n, so moments stay correct.
+    k masked min-reductions instead of a sort: no (M,S*cpr) relayout, no
+    top_k, no take_along gathers.
+    """
+    cur = jnp.where(ok, d2, jnp.inf)
+    t = None
+    for _ in range(k):
+        t = jnp.min(cur, axis=(1, 2))                       # (M,)
+        cur = jnp.where(cur <= t[:, None, None], jnp.inf, cur)
+    w = ok & (d2 <= t[:, None, None])
+    n = jnp.sum(w, axis=(1, 2))
+    return t, n, w
+
+
+def query_knn(vm: VoxelMap, q, mask, cfg):
+    """k nearest map centroids for each query point.
+
+    q: (M, 3) world-frame queries, mask: (M,) validity.
+    Returns (neighbors (M,K,3), valid (M,K) bool, dist2 (M,K)) with
+    neighbors sorted by ascending distance; invalid entries have dist2=inf.
+    Replaces `nearestKSearch(5)` over the matched cube's KD-tree.
+
+    The candidate set is every cell in the superrows covering the fine
+    stencil; the k-NN are exact nearest-by-centroid within the candidates.
+    (The estimator's association path uses query_candidates + masked
+    moment reductions instead — explicit neighbor materialization via
+    top_k measured ~12 ms/scan; this entry point serves calibration and
+    tooling.)
+    """
+    cpr = _cpr(cfg)
+    M = q.shape[0]
+    dx, dy, dz, d2, ok = query_candidates(vm, q, mask, cfg)
+    S = d2.shape[1]
     C = S * cpr
     neg, idx = jax.lax.top_k(-d2.reshape(M, C), cfg.knn)    # (M,K)
     take = lambda a: jnp.take_along_axis(a.reshape(M, C), idx, axis=1)
