@@ -2,10 +2,16 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-The BASELINE.json target is >= 200 scans/sec/chip (batched replay); the
-C++ reference processes one bag in real time at ~10 scans/sec/core with
-no published numbers (BASELINE.md), so vs_baseline is measured against
-the 200 scans/sec/chip target.
+Measures the FLAGSHIP configuration (LIOConfig() defaults: 256x256x64
+persistent map + 192x192x32 fine local map, 512/2048 stacks, 16x1024
+Velodyne + 6x2048 Horizon dual-lidar scans) — the config the BASELINE.json
+target of >= 200 scans/sec/chip is defined against.  The C++ reference
+processes one bag in real time at ~10 scans/sec/core with no published
+numbers (BASELINE.md), so vs_baseline is the ratio to the 200 target.
+
+Measurement rules (CLAUDE.md): np.asarray on an output is the completion
+barrier; inputs are perturbed between the warmup and the timed run so no
+execution cache can serve memoized results; sequences vary per batch lane.
 """
 
 import json
@@ -20,36 +26,42 @@ import jax.numpy as jnp
 BASELINE_SCANS_PER_SEC = 200.0
 
 
-def main(batch=16, n_scans=30, warmup=5, seed0=None):
+def build_inputs(batch, n_scans, cfg, seed0):
     from mmloam_tpu import pipeline, replay
-    from mmloam_tpu.config import tiny_config
     from mmloam_tpu.data import synthetic
 
-    cfg = tiny_config()
     world = synthetic.default_world()
+    seqs = []
+    for b in range(batch):
+        traj = synthetic.Trajectory(speed=0.6 + 0.05 * (b % 8), z_amp=0.1,
+                                    yaw_rate=0.2 + 0.02 * (b % 8))
+        scans, _, _ = replay.make_sequence(
+            world, traj, 0.0, n_scans, cfg, n_az=cfg.scan.max_pts_per_line,
+            seed=seed0 + b, range_noise=0.003, dtype=np.float32,
+            with_hori=True, hori_n_az=cfg.scan.hori_max_pts_per_line,
+            to_device=False)
+        seqs.append(scans)
+    # one bulk transfer: (T, B, ...) host pytree -> device
+    batch_scans = jax.tree.map(
+        lambda *xs: jnp.asarray(np.stack(xs, axis=1)), *seqs)
+    batch_state = replay.stack_states(
+        [pipeline.init_state(cfg) for _ in range(batch)])
+    return batch_state, batch_scans
+
+
+def main(batch=16, n_scans=30, seed0=None):
+    from mmloam_tpu import replay
+    from mmloam_tpu.config import LIOConfig
+
+    cfg = LIOConfig()
 
     # fresh range-noise seeds per invocation so no execution-cache layer
     # (local or remote) can return memoized results
     if seed0 is None:
         seed0 = int(time.time() * 1000) % 100000
 
-    seqs = []
-    for b in range(batch):
-        traj = synthetic.Trajectory(speed=0.6 + 0.05 * b, z_amp=0.1,
-                                    yaw_rate=0.2 + 0.02 * b)
-        scans, _, _ = replay.make_sequence(world, traj, 0.0, n_scans, cfg,
-                                           n_az=720, seed=seed0 + b,
-                                           range_noise=0.003,
-                                           dtype=np.float32)
-        seqs.append(scans)
-    batch_scans = replay.stack_sequences(seqs)   # (n_scans, batch, ...)
-    batch_state = replay.stack_states(
-        [pipeline.init_state(cfg) for _ in range(batch)])
+    batch_state, batch_scans = build_inputs(batch, n_scans, cfg, seed0)
 
-    # compile warmup on the full shape, then time on perturbed inputs so an
-    # execution-result cache cannot serve the timed run.  np.asarray (full
-    # device->host materialization) is the completion barrier — on tunneled
-    # TPU backends block_until_ready alone under-reports.
     st, outs = replay.replay_batch(batch_state, batch_scans, cfg)
     np.asarray(outs.pose_p)
     timed = batch_scans._replace(pts=batch_scans.pts + np.float32(1e-5))
@@ -60,7 +72,7 @@ def main(batch=16, n_scans=30, warmup=5, seed0=None):
 
     scans_per_sec = batch * n_scans / dt
     print(json.dumps({
-        "metric": "batched_replay_throughput",
+        "metric": "flagship_replay_throughput",
         "value": round(scans_per_sec, 2),
         "unit": "scans/sec/chip",
         "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 3),

@@ -112,7 +112,13 @@ class SolverConfig:
     """Sliding-window MAP solver (reference: Estimator.cpp:1143-1581)."""
 
     window: int = 5                  # SLIDEWINDOWSIZE (Estimator.h:30)
-    max_outer_iters: int = 5         # outer relinearize/assoc loop (:1210)
+    # outer relinearize/assoc rounds.  The reference runs 5 (:1210) with
+    # the member threshold schedule 25-10-1-1-1; rounds 4-5 re-associate
+    # at an unchanged threshold from already-converged poses and change
+    # nothing measurable (hall/corridor ATE identical at 3 vs 5), while
+    # each round costs a frame association + solve in the hot step — so
+    # the compiled schedule is 25-10-1.  Set 5 for the faithful schedule.
+    max_outer_iters: int = 3
     max_inner_iters: int = 10        # dogleg iterations per outer (:1428)
     # inner-iteration budget for outer rounds AFTER the first: those solves
     # start from an already-optimized window (only the association targets
@@ -124,14 +130,20 @@ class SolverConfig:
     thres_dist_short: float = 25.0   # short-window gate (:1207)
     plan_weight_tan: float = 0.0003  # tangential plane weight (:1203)
     huber_delta_scale: float = 0.1   # HuberLoss(0.1/lidar_m) (:1216)
-    converge_rot_deg: float = 0.05   # outer convergence thresholds (:1448)
+    # outer-loop convergence (Estimator.cpp:1448): when one LM solve moves
+    # every pose by less than these, further re-association rounds are
+    # skipped (the reference breaks its iterOpt loop and marginalizes)
+    converge_rot_deg: float = 0.05
     converge_trans: float = 0.05
     # inner LM convergence: accepted step's max pose delta below these ->
     # stop iterating.  The reference's OUTER gates are 0.05 m / 0.05 deg
     # (:1448); these inner gates only need to be comfortably below that.
     inner_converge_trans: float = 3.0e-4   # meters
     inner_converge_rot: float = 3.0e-5     # radians
-    marg_eps: float = 1.0e-8         # eigen threshold (ceresfunc.h:261)
+    # marginalization eigen threshold, RELATIVE to the largest eigenvalue
+    # (the reference uses absolute 1e-8 in f64, ceresfunc.h:261; the
+    # relative form is the f32-meaningful equivalent)
+    marg_eps: float = 1.0e-6
     # Point-factor sigma used when BUILDING the marginalization prior.
     # The reference folds point factors into the prior at lidar_m = 1.5 mm
     # (ceresfunc.h:321 sqrt infos), wildly overconfident vs the real map
@@ -141,18 +153,31 @@ class SolverConfig:
     # under sustained motion).  0.05 m bounds the prior realistically;
     # set to imu.lidar_m for strict reference behavior.
     marg_point_sigma: float = 0.05
-    # Re-associate the first N outer rounds in FULL-window mode (0 =
-    # reference behavior).  The reference freezes full-window associations
-    # at the entry (predicted) poses (the vLineFeatures cache,
-    # Estimator.cpp:160-170); under sustained motion the stale targets lag
-    # the true pose, the window under-tracks, and the accelerometer bias
-    # absorbs the discrepancy — a measured velocity-decay feedback loop.
-    # Refreshing targets once at the post-solve poses breaks the loop;
-    # rounds beyond ~2 change targets negligibly (the pose moves < the map
-    # voxel size) but each costs 5 frames x ~1.3k stencil map gathers, the
-    # single most expensive op in the step program.
+    # Re-associate the NEWEST frame in the first N outer rounds of
+    # FULL-window mode (0 = reference behavior).  The reference freezes
+    # full-window associations at the entry (predicted) poses (the
+    # vLineFeatures cache, Estimator.cpp:160-170); under sustained motion
+    # the stale targets lag the true pose, the window under-tracks, and the
+    # accelerometer bias absorbs the discrepancy — a measured
+    # velocity-decay feedback loop.  Refreshing targets once at the
+    # post-solve poses breaks the loop; rounds beyond ~2 change targets
+    # negligibly (the pose moves < the map voxel size) but each costs a
+    # frame's stencil map gathers, the most expensive op in the step.
     full_reassoc_rounds: int = 2
-    init_radius: float = 1.0e4       # initial trust-region radius (Ceres default)
+    # How many OLD window frames get their cached point factors rebuilt per
+    # scan (rotating through slots 0..W-2).  The reference re-associates
+    # every window frame every scan (Estimator.cpp:1262-1299); here old
+    # frames' factor sets are cached across scans (their poses move
+    # millimeters once optimized, so the 5-NN sets are stable) and
+    # refreshed round-robin: 1 = each old frame refreshes every W-1 scans
+    # (default), W-1 = every old frame refreshed every scan
+    # (reference-equivalent cadence, ~4x the association cost).
+    refresh_old_frames: int = 1
+    # initial trust-region radius for the inner LM loop.  Ceres defaults to
+    # 1e4; here 1.0 (meters-scale on the Jacobi-normalized step) measures
+    # better — the first predicted window is already near the optimum, and
+    # a huge first step along a near-flat direction wastes an iteration
+    init_radius: float = 1.0
     min_plane_normals: int = 10      # localizability gate (Estimator.cpp:540)
     # Scatter-rank gate for plane fits: reject 5-NN sets whose middle
     # covariance eigenvalue is below this fraction of the largest (i.e.
@@ -171,7 +196,15 @@ class SolverConfig:
     gravity_refine_every: int = 10
     corner_cnt_gate_hori: int = 100  # pose-acceptance / merge gates (:1041,:751)
     corner_cnt_gate_velo: int = 50
-    map_move_dist_sq: float = 0.5    # map update min move (m^2) (:1083,:1125)
+    # LOCAL-map insert gating.  The reference runs MapIncrementLocal only
+    # after >= 0.5 m^2 of motion (Estimator.cpp:1083,:1125) — a CPU-cost
+    # bound on the per-insert kd-tree rebuild, not a semantic requirement.
+    # Our insert is a row-RMW kernel whose cost is already paid every scan
+    # (the global map IS inserted every non-degenerate scan, :1074-1077 +
+    # threadMapIncrement), so the default keeps the fine local history
+    # maximally fresh; faithful_config() restores the reference's gate.
+    local_map_move_gate: bool = False
+    map_move_dist_sq: float = 0.5    # local-map min move (m^2) (:1083,:1125)
 
 
 @dataclass(frozen=True)
@@ -180,8 +213,10 @@ class FailsafeConfig:
 
     velo_rotate_th: float = 1.5      # |yaw rate| gates (launch :45-46)
     hori_rotate_th: float = 0.3
-    cross_angular_th: float = 0.1    # hori/velo pose divergence gates
-    cross_planar_th_sq: float = 0.1  # (unionPoseEstimation.cpp:1196-1208)
+    # NOTE: the reference's cross-sensor hori/velo pose-divergence gates
+    # (unionPoseEstimation.cpp:1196-1260) are DEAD CODE in the shipped
+    # reference (newHoriFullCloud=false at :690) and are formally descoped —
+    # see PARITY.md "Descoped" — so no cross_* thresholds exist here.
     init_bias_bound: float = 0.5     # init sanity (unionPoseEstimation.cpp:583)
     init_velocity_bound: float = 2.0
     # sanity clamp on the pre-init constant-motion replay delta (m/scan):
@@ -207,6 +242,20 @@ class LIOConfig:
     feature: FeatureConfig = FeatureConfig()
     scan: ScanConfig = ScanConfig()
     map: MapConfig = MapConfig()
+    # Fine-leaf recent-history map: the reference's 50-frame local map
+    # (MapIncrementLocal, Estimator.cpp:1585-1643; surf leaf 0.2 =
+    # filter_parameter_surf), queried when the persistent-map association
+    # misses (the kd-tree local branch, Estimator.cpp:283-360).  The
+    # smaller torus period (38.4 m here) plays the role of the 50-frame
+    # ring: cells more than half a period behind the pose alias out,
+    # which at the reference's >=0.7 m insert spacing is ~27-55 frames of
+    # history.  The tier is consulted per point whenever the persistent
+    # association fails (starvation OR fit-gate rejection); its
+    # pack/stencil may differ from `map` (fits are computed per map and
+    # merged by a validity select, factors._plane_fit/_line_fit).
+    local_map: MapConfig = MapConfig(voxel_size=0.2, dim_x=192, dim_y=192,
+                                     dim_z=32)
+    use_local_map: bool = True
     solver: SolverConfig = SolverConfig()
     failsafe: FailsafeConfig = FailsafeConfig()
     velo_only_mode: bool = False     # reference: Velo_Only_Mode rosparam
@@ -225,6 +274,14 @@ class LIOConfig:
     # full kinematic prediction P+ = P + V dt + 0.5 g dt^2 + R dP
     # (36% better ATE on the synthetic hall); False = reference-faithful.
     predict_full_kinematics: bool = True
+    # Weight (sqrt-info) of the init gravity-rotation prior.  The reference
+    # pins gravity to the averaged-accelerometer seed with sqrt-info 2000
+    # (Cost_Initialization_Prior_R, ceresfunc.h:781-818, built at
+    # unionPoseEstimation.cpp:515), assuming a quasi-static start; 20
+    # merely regularizes the yaw null direction and lets the IMU factors
+    # separate acceleration from gravity (see initializer.py) — measured
+    # necessary when init happens under acceleration.
+    init_gravity_prior_w: float = 20.0
 
     def replace(self, **kw) -> "LIOConfig":
         return dataclasses.replace(self, **kw)
@@ -255,5 +312,56 @@ def tiny_config() -> LIOConfig:
         scan=ScanConfig(n_lines=4, max_pts_per_line=256,
                         max_corner=256, max_surf=1024, max_nonfeature=64),
         map=MapConfig(dim_x=96, dim_y=96, dim_z=32),
+        local_map=MapConfig(voxel_size=0.2, dim_x=64, dim_y=64, dim_z=32),
         imu=ImuConfig(max_samples=32),
     )
+
+
+def faithful_config(base: LIOConfig | None = None) -> LIOConfig:
+    """Reference-faithful settings: every deliberate algorithmic deviation
+    that is ON by default flipped back to the reference's behavior.
+
+    The defaults are measured improvements (each justified at its
+    definition); this constructor exists so tests can assert the engine
+    still tracks with the reference's exact semantics — i.e. that the
+    improvements are opt-in refinements, not load-bearing crutches.
+    Mapping (deviation -> reference value / citation):
+
+    * predict_full_kinematics=False — prediction omits velocity/gravity
+      terms (unionPoseEstimation.cpp:806-817, :811-814 commented out).
+    * init_gravity_prior_w=2000 — gravity pinned to the accelerometer
+      seed (ceresfunc.h:781-818, unionPoseEstimation.cpp:515).
+    * solver.marg_point_sigma=imu.lidar_m — point factors enter the
+      marginalization prior at lidar sigma (ceresfunc.h:321 sqrt infos).
+    * solver.full_reassoc_rounds=0 — full-window associations frozen at
+      the entry poses (the vLineFeatures cache, Estimator.cpp:160-170).
+    * solver.refresh_old_frames=window-1 — every window frame's point
+      factors rebuilt every scan (Estimator.cpp:1262-1299).
+    * solver.max_outer_iters=5 — the full outer schedule (:1210).
+    * solver.plane_scatter_ratio=0 — no scatter-rank gate on plane fits
+      (colPivHouseholderQr accepts collinear sets, Estimator.cpp:640-668).
+    * solver.init_radius=1e4 — Ceres' default initial trust radius.
+    * solver.gravity_refine_every=0 — gravity frozen after init
+      (unionPoseEstimation.cpp:577-578).
+    * solver.local_map_move_gate=True — MapIncrementLocal only after
+      >= 0.5 m^2 of motion (Estimator.cpp:1083,:1125).
+
+    Not toggleable: the init velocity prior's trapezoidal two-state form
+    (initializer.py) — it shares the factor structure, not a flag; its
+    effect is bounded by the init prior weights.
+    """
+    cfg = base if base is not None else LIOConfig()
+    return cfg.replace(
+        predict_full_kinematics=False,
+        init_gravity_prior_w=2000.0,
+        solver=dataclasses.replace(
+            cfg.solver,
+            marg_point_sigma=cfg.imu.lidar_m,
+            full_reassoc_rounds=0,
+            refresh_old_frames=cfg.solver.window - 1,
+            max_outer_iters=5,
+            plane_scatter_ratio=0.0,
+            init_radius=1.0e4,
+            gravity_refine_every=0,
+            local_map_move_gate=True,
+        ))

@@ -82,7 +82,8 @@ def _icp_core(src, src_mask, vm, x0, cfg, iters):
     return x, resids[-1], counts[-1]
 
 
-def _fitted_map_config(map_cfg, pts, voxel, stencil=(2, 2, 2)):
+def _fitted_map_config(map_cfg, pts, voxel, stencil=(2, 2, 2), mask=None,
+                       max_cells=64_000_000):
     """Map config whose torus covers the cloud's bounding box alias-free.
 
     The pipeline's map dims assume lidar-range locality (insert_guard keeps
@@ -91,15 +92,31 @@ def _fitted_map_config(map_cfg, pts, voxel, stencil=(2, 2, 2)):
     leaf, so the dims must be derived from the actual extent — otherwise
     points one torus period apart alias into the same cells within a
     single insert batch, which is undefined (mixed sums under one key).
+
+    `mask` must cover exactly the points the caller will INSERT (e.g. the
+    2-50 m crop): sizing from the raw cloud would let a few >100 m returns
+    inflate the dims cubically (storage is extent^3/voxel^3 * 16 B) even
+    though those points are never inserted.  `max_cells` caps the allocation
+    (64 M cells = 1 GiB) with a clear error instead of an OOM.
     """
     import dataclasses
 
     import numpy as np
 
-    finite = np.isfinite(pts).all(axis=-1)
-    span = np.ptp(pts[finite], axis=0) / voxel + 2 * (np.asarray(stencil) + 4)
+    sel = np.isfinite(pts).all(axis=-1)
+    if mask is not None:
+        sel = sel & np.asarray(mask)
+    if not sel.any():
+        raise ValueError("no points selected for map sizing")
+    span = np.ptp(pts[sel], axis=0) / voxel + 2 * (np.asarray(stencil) + 4)
     packs = (map_cfg.pack_x, map_cfg.pack_y, map_cfg.pack_z)
     dims = [int(-(-s // p)) * p for s, p in zip(span, packs)]
+    n_cells = dims[0] * dims[1] * dims[2]
+    if n_cells > max_cells:
+        raise ValueError(
+            f"fitted map would need {n_cells} cells (> {max_cells}): "
+            f"cloud extent {np.ptp(pts[sel], axis=0)} m at voxel {voxel} m — "
+            "crop the cloud or use a coarser voxel")
     return dataclasses.replace(
         map_cfg, voxel_size=voxel, dim_x=dims[0], dim_y=dims[1],
         dim_z=dims[2], stencil_x=stencil[0], stencil_y=stencil[1],
@@ -120,7 +137,8 @@ def icp_extrinsic(src_pts, dst_pts, cfg, init_T=None, iters=30,
     dst_mask = _crop(dst, jnp.isfinite(dst).all(axis=-1))
 
     mcfg = _fitted_map_config(cfg.map, np.asarray(dst_pts), voxel,
-                              stencil=(2, 2, 2))
+                              stencil=(2, 2, 2),
+                              mask=np.asarray(dst_mask))
     cfg2 = cfg.replace(map=mcfg)
     vm = voxelmap.insert(voxelmap.empty_map(mcfg), dst, dst_mask, mcfg)
 

@@ -69,7 +69,7 @@ def _world_points(x6, p_l, Rbl, tbl):
 # association (builds fixed targets at the current pose, once per scan)
 # --------------------------------------------------------------------------
 
-def _neighbor_moments(vm, pw, mask, cfg):
+def _neighbor_moments(vm, pw, mask, mcfg, knn):
     """k-nearest selection + first/second moments of (centroid - query).
 
     One fused pass over the stencil candidate block: no top_k, no
@@ -77,8 +77,8 @@ def _neighbor_moments(vm, pw, mask, cfg):
     path this replaces).  Returns (t_k, n, s1 (M,3), s2 (M,3,3), w) with
     w the (M,S,cpr) selection mask for per-candidate gates.
     """
-    dx, dy, dz, d2, ok = voxelmap.query_candidates(vm, pw, mask, cfg.map)
-    t_k, n, w = voxelmap.select_k_smallest(d2, ok, cfg.map.knn)
+    dx, dy, dz, d2, ok = voxelmap.query_candidates(vm, pw, mask, mcfg)
+    t_k, n, w = voxelmap.select_k_smallest(d2, ok, knn)
     wf = w.astype(pw.dtype)
     red = lambda a: jnp.sum(a * wf, axis=(1, 2))
     s1 = jnp.stack([red(dx), red(dy), red(dz)], axis=-1)
@@ -91,18 +91,13 @@ def _neighbor_moments(vm, pw, mask, cfg):
     return t_k, n, s1, s2, (dx, dy, dz, w)
 
 
-def associate_lines(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist) -> LineTargets:
-    """Corner association: 5-NN -> PCA line fit -> eigenvalue gate.
+def _line_fit(pw, mask, t_k, n, s1, s2, thres_dist, k):
+    """PCA line fit + gates from one map's neighbor moments.
 
-    Mirrors Estimator.cpp:189-277: 5th-NN sq-distance < thres_dist (the
-    shared member-variable schedule), largest eigenvalue > 3x middle,
-    line = centroid +- direction.  Fits are computed from query-relative
-    neighbor moments (|offset| <= stencil reach, so the f32 central-moment
-    subtraction is cancellation-safe).
+    Returns (c, u, valid): 5th-NN sq-distance < thres_dist, largest
+    eigenvalue > 3x middle (Estimator.cpp:189-277), association-time
+    geometric error > 1e-5 (:1311-1317 via FeatureLine::ComputeError).
     """
-    pw = _world_points(x6, p_l, Rbl, tbl)
-    k = cfg.map.knn
-    t_k, n, s1, s2, _ = _neighbor_moments(vm, pw, mask, cfg)
     have5 = (n >= k) & (t_k < thres_dist)
     nf = jnp.maximum(n, 1).astype(pw.dtype)
 
@@ -113,10 +108,44 @@ def associate_lines(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist) -> LineTargets
     line_like = evals[:, 2] > 3.0 * evals[:, 1]
 
     c = pw + mu
-    # reference gate: association-time geometric error must be > 1e-5
-    # (Estimator.cpp:1311-1317 via FeatureLine::ComputeError)
     err0 = jnp.linalg.norm(jnp.cross(-mu, u), axis=-1)
     valid = mask & have5 & line_like & (err0 > 1e-5)
+    return c, u, valid
+
+
+def associate_lines(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
+                    vm_local=None) -> LineTargets:
+    """Corner association: 5-NN -> PCA line fit -> eigenvalue gate.
+
+    Mirrors Estimator.cpp:189-277: 5th-NN sq-distance < thres_dist (the
+    shared member-variable schedule), largest eigenvalue > 3x middle,
+    line = centroid +- direction.  Fits are computed from query-relative
+    neighbor moments (|offset| <= stencil reach, so the f32 central-moment
+    subtraction is cancellation-safe).
+
+    `vm_local` adds the reference's second matching tier — the kd-tree
+    over the fine-leaf recent-history local map (Estimator.cpp:283-360,
+    MapIncrementLocal :1585-1643): a point whose PERSISTENT-map
+    association fails — too few neighbors inside `thres_dist`, or a
+    neighbor set that fails the line-likeness gate (coarse 0.4 m
+    centroids of a thin structure are often near-collinear or
+    near-isotropic where the fine map's cells resolve the geometry) —
+    takes its fit from the local map instead.  Both fits are computed
+    from already-gathered moment blocks, so the fallback is a per-point
+    select, fully fused.
+    """
+    pw = _world_points(x6, p_l, Rbl, tbl)
+    k = cfg.map.knn
+    t_k, n, s1, s2, _ = _neighbor_moments(vm, pw, mask, cfg.map, k)
+    c, u, valid = _line_fit(pw, mask, t_k, n, s1, s2, thres_dist, k)
+    if vm_local is not None:
+        t2, n2, s12, s22, _ = _neighbor_moments(vm_local, pw, mask,
+                                                cfg.local_map, k)
+        c2, u2, valid2 = _line_fit(pw, mask, t2, n2, s12, s22, thres_dist, k)
+        use2 = (~valid & valid2)[:, None]
+        c = jnp.where(use2, c2, c)
+        u = jnp.where(use2, u2, u)
+        valid = valid | valid2
     return LineTargets(p_l=p_l, c=c, u=u, valid=valid)
 
 
@@ -140,81 +169,120 @@ def _plane_basis(omega):
     return jnp.stack([omega, t1, t2], axis=0)   # (3,3), rows
 
 
-def associate_planes(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
-                     weight_tan):
-    """Surf association: 5-NN -> LS plane fit -> flatness gate.
+def _plane_fit(pw, mask, t_k, n, s1, s2, blk, thres_dist, k, cfg):
+    """Total-LS plane fit + gates from one map's neighbor moments.
 
-    Mirrors Estimator.cpp:617-696: plane ax+by+cz+1=0 fitted to the 5
-    neighbors, rejected unless all are within 0.2 m; residual target is the
-    projected point; the 3x3 sqrt-information weights the normal direction
-    with 1 and the tangents with `plan_weight_tan` (units of lidar_m here).
-    Returns (PlaneTargets, normals (K,3), normal_valid (K,)).
+    Returns (proj, omega, dist, valid).  Gates: 5th-NN sq-distance <
+    thres_dist, every selected neighbor within 0.2 m of the fitted plane
+    (Estimator.cpp:617-696), scatter-rank (cfg.solver.plane_scatter_ratio),
+    association-time error > 1e-5.
     """
-    pw = _world_points(x6, p_l, Rbl, tbl)
-    k = cfg.map.knn
-    t_k, n, s1, s2, (dx, dy, dz, w) = _neighbor_moments(vm, pw, mask, cfg)
+    dx, dy, dz, w = blk
     have5 = (n >= k) & (t_k < thres_dist)
     nf = jnp.maximum(n, 1).astype(pw.dtype)
 
-    # solve A x = -1 via 3x3 normal equations; A's rows are the absolute
-    # neighbor positions q + r, so AtA/Atb expand exactly in the moments:
-    #   AtA = S2 + n q q^T + q S1^T + S1 q^T,   Atb = -(n q + S1)
-    AtA = (s2 + nf[:, None, None] * pw[:, None, :] * pw[:, :, None]
-           + pw[:, None, :] * s1[:, :, None] + s1[:, None, :] * pw[:, :, None])
-    Atb = -(nf[:, None] * pw + s1)
-    x = linalg3.solve3(AtA, Atb)
-    ps = jnp.maximum(jnp.linalg.norm(x, axis=-1), 1e-9)
-    omega = x / ps[:, None]                       # unit normal
-    pd = 1.0 / ps                                 # plane offset (normalized d)
+    # Total-LS plane through the neighbor centroid: normal = smallest
+    # eigenvector of the CENTERED second moment (query-relative, so every
+    # term is O(stencil reach) and f32-exact).  Deviation from the
+    # reference's colPivHouseholderQr fit of ax+by+cz+1=0 on ABSOLUTE
+    # coordinates (Estimator.cpp:617-640, f64 there): that form is
+    # coordinate-dependent — in f32 the n·q·qᵀ terms reach ~1e4 at 100 m
+    # world coords and their cancellation noise tilts fitted normals by
+    # ~1e-2, which both corrupts factors and (worse) injects phantom
+    # localizability: a featureless corridor read sv_x ≈ 4 > the 3.0
+    # degeneracy gate purely from fit noise.  The centered fit is also
+    # well-defined for planes through the world origin, which ax+by+cz+1
+    # cannot represent.
+    mu = s1 / nf[:, None]                          # centroid - query
+    scov = s2 - nf[:, None, None] * mu[:, None, :] * mu[:, :, None]
+    sev = linalg3.eigvalsh3(scov)
+    omega = linalg3.smallest_eigvec3(scov, sev)
+    dist = -jnp.einsum("kj,kj->k", omega, mu)      # signed query-to-plane
 
     # planarity gate: every SELECTED neighbor within 0.2 m of the fitted
     # plane (per-candidate check against the still-live candidate block)
-    base = jnp.einsum("kj,kj->k", pw, omega) + pd          # plane eval at q
-    cand_dist = (base[:, None, None] + dx * omega[:, 0, None, None]
-                 + dy * omega[:, 1, None, None]
-                 + dz * omega[:, 2, None, None])
+    cand_dist = ((dx - mu[:, 0, None, None]) * omega[:, 0, None, None]
+                 + (dy - mu[:, 1, None, None]) * omega[:, 1, None, None]
+                 + (dz - mu[:, 2, None, None]) * omega[:, 2, None, None])
     planar = jnp.all(jnp.where(w, jnp.abs(cand_dist) <= 0.2, True),
                      axis=(1, 2))
     # scatter-rank gate: a near-collinear neighbor set fits "a plane"
     # with an arbitrary normal — reject it (cfg.solver.plane_scatter_ratio;
     # improvement over the reference, see config docstring)
     if cfg.solver.plane_scatter_ratio > 0:
-        mu = s1 / nf[:, None]
-        scov = s2 - nf[:, None, None] * mu[:, None, :] * mu[:, :, None]
-        sev = linalg3.eigvalsh3(scov)
         planar = planar & (sev[:, 1] >
                            cfg.solver.plane_scatter_ratio * sev[:, 2])
 
-    dist = base
     proj = pw - dist[:, None] * omega
+
+    err0 = jnp.abs(dist)
+    valid = mask & have5 & planar & (err0 > 1e-5)
+    return proj, omega, valid
+
+
+def associate_planes(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
+                     weight_tan, vm_local=None):
+    """Surf association: 5-NN -> LS plane fit -> flatness gate.
+
+    Mirrors Estimator.cpp:617-696: plane fitted to the 5 neighbors,
+    rejected unless all are within 0.2 m; residual target is the
+    projected point; the 3x3 sqrt-information weights the normal direction
+    with 1 and the tangents with `plan_weight_tan` (units of lidar_m here).
+    Returns (PlaneTargets, normals (K,3), normal_valid (K,)).
+
+    `vm_local` adds the reference's second matching tier (the kd-tree over
+    the fine-leaf recent-history local map, Estimator.cpp:283-360 +
+    MapIncrementLocal :1585-1643): a point whose persistent-map
+    association FAILS — neighbor starvation inside `thres_dist`, or a
+    neighborhood failing the planarity/scatter gates (coarse centroids of
+    small structure fit badly where fine cells resolve it) — takes its
+    fit from the local map instead.
+    """
+    pw = _world_points(x6, p_l, Rbl, tbl)
+    k = cfg.map.knn
+    t_k, n, s1, s2, blk = _neighbor_moments(vm, pw, mask, cfg.map, k)
+    proj, omega, valid = _plane_fit(pw, mask, t_k, n, s1, s2, blk,
+                                    thres_dist, k, cfg)
+    if vm_local is not None:
+        t2, n2, s12, s22, blk2 = _neighbor_moments(vm_local, pw, mask,
+                                                   cfg.local_map, k)
+        proj2, omega2, valid2 = _plane_fit(pw, mask, t2, n2, s12, s22, blk2,
+                                           thres_dist, k, cfg)
+        use2 = ~valid & valid2
+        proj = jnp.where(use2[:, None], proj2, proj)
+        omega = jnp.where(use2[:, None], omega2, omega)
+        valid = valid | valid2
 
     basis = jax.vmap(_plane_basis)(omega)         # (K,3,3)
     w = jnp.array([1.0, weight_tan, weight_tan], pw.dtype)
     sqrt_info = w[None, :, None] * basis
 
-    err0 = jnp.abs(dist)
-    valid = mask & have5 & planar & (err0 > 1e-5)
     return (PlaneTargets(p_l=p_l, proj=proj, sqrt_info=sqrt_info, valid=valid),
             omega, valid)
 
 
-def localizability(normals, valid, cfg):
-    """Min singular value of the stacked plane normals + failure gates.
+def localizability_ntn(NtN, n, cfg):
+    """checkLocalizability from a precomputed normal Gram matrix.
 
-    Mirrors checkLocalizability (Estimator.cpp:536-565): sv_min of the Nx3
-    normal matrix; < degenerate threshold (3.0) => degenerate; < 2.0 or
-    fewer than min_plane_normals (10) normals => failure.
-    Returns (is_degenerate, fail_detected, sv_min).
+    Mirrors Estimator.cpp:536-565: sv_min of the Nx3 normal matrix (==
+    sqrt of NtN's smallest eigenvalue); < degenerate threshold (3.0) =>
+    degenerate; < 2.0 or fewer than min_plane_normals (10) normals =>
+    failure.  Returns (is_degenerate, fail_detected, sv_min).
     """
-    m = valid.astype(normals.dtype)
-    NtN = jnp.einsum("ki,kj->ij", normals * m[:, None], normals * m[:, None])
     evals = linalg3.eigvalsh3(NtN)
     sv_min = jnp.sqrt(jnp.maximum(evals[0], 0.0))
-    n = jnp.sum(valid)
     too_few = n <= cfg.solver.min_plane_normals
     degenerate = (sv_min < 3.0) | too_few
     fail = (sv_min < cfg.solver.degenerate_sv) | too_few
     return degenerate, fail, jnp.where(too_few, -1.0, sv_min)
+
+
+def localizability(normals, valid, cfg):
+    """Min singular value of stacked plane normals (localizability_ntn
+    over Σ ω ωᵀ) — kept for per-point callers and tests."""
+    m = valid.astype(normals.dtype)
+    NtN = jnp.einsum("ki,kj->ij", normals * m[:, None], normals * m[:, None])
+    return localizability_ntn(NtN, jnp.sum(valid), cfg)
 
 
 # --------------------------------------------------------------------------

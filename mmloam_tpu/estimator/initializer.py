@@ -117,7 +117,8 @@ def _init_residuals(theta, consts):
 
 
 def initialize(kf_P, kf_Q, avg_acc, preint9, gnorm, Rlb, tlb, iters: int = 20,
-               gravity_prior_w: float = 20.0):
+               gravity_prior_w: float = 20.0, bias_bound: float = 0.5,
+               velocity_bound: float = 2.0):
     """Run the init solve over K keyframes.
 
     kf_P (K,3), kf_Q (K,4): LIDAR keyframe poses; avg_acc (3,): average
@@ -182,8 +183,11 @@ def initialize(kf_P, kf_Q, avg_acc, preint9, gnorm, Rlb, tlb, iters: int = 20,
     ba = theta[3 + 3 * K: 6 + 3 * K]
     bg = theta[6 + 3 * K: 9 + 3 * K]
     gravity = lie.exp_matrix(r) @ jnp.array([0.0, 0.0, -gnorm], dtype)
-    ok = ((jnp.linalg.norm(ba) <= 0.5) & (jnp.linalg.norm(bg) <= 0.5)
-          & jnp.all(jnp.linalg.norm(v - prior_v, axis=-1) <= 2.0)
+    # sanity gates (unionPoseEstimation.cpp:583-599; bounds from
+    # cfg.failsafe.init_bias_bound / init_velocity_bound)
+    ok = ((jnp.linalg.norm(ba) <= bias_bound)
+          & (jnp.linalg.norm(bg) <= bias_bound)
+          & jnp.all(jnp.linalg.norm(v - prior_v, axis=-1) <= velocity_bound)
           & jnp.all(jnp.isfinite(theta)))
     return InitResult(ok=ok, gravity=gravity, v=v, bg=bg, ba=ba)
 

@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import factors
+from . import factors, reduced
 
 
 class Prior(NamedTuple):
@@ -39,43 +39,17 @@ def empty_prior(dtype=jnp.float32) -> Prior:
                  x0=jnp.zeros((15,), dtype), valid=jnp.asarray(False))
 
 
-def _point_blocks(x, ltgts, ptgts, Rbl, tbl, huber_delta):
-    """Per-frame 6x6 normal-equation blocks from line+plane factors.
+def _point_blocks(x, rfs):
+    """Per-frame 6x6 normal-equation blocks from the reduced point factors.
 
-    x: (W,15).  Returns H6 (W,6,6), b6 (W,6), cost ().
+    x: (W,15); rfs: ReducedFactor with leading window axis (W,).  Each
+    frame evaluates its exact quadratic (reduced.eval_reduced) — identical
+    H6/b6/cost to a per-point residual+Jacobian sweep with the same
+    association-time weights, at O(150) numbers per frame instead of O(K).
+    Robust-loss weights are folded into the factors at association time
+    (reduced.build_reduced), so there is no per-iteration reweighting.
     """
-    def one_frame(x15, lt, pt):
-        x6 = x15[:6]
-        rl = factors.line_residual(x6, lt, Rbl, tbl)               # (Kc,)
-        Jl = jax.jacfwd(lambda z: factors.line_residual(z, lt, Rbl, tbl))(x6)
-        rp = factors.plane_residual(x6, pt, Rbl, tbl)              # (Ks,3)
-        Jp = jax.jacfwd(lambda z: factors.plane_residual(z, pt, Rbl, tbl))(x6)
-
-        sl = rl * rl                                                # block sq-norms
-        sp = jnp.sum(rp * rp, axis=-1)
-        if huber_delta is None:
-            wl = jnp.ones_like(sl)
-            wp = jnp.ones_like(sp)
-            cost = 0.5 * (jnp.sum(sl) + jnp.sum(sp))
-        else:
-            wl = factors.huber_weight(sl, huber_delta)
-            wp = factors.huber_weight(sp, huber_delta)
-            def rho(s):
-                d = huber_delta
-                return jnp.where(s <= d * d, s, 2.0 * d * jnp.sqrt(s) - d * d)
-            cost = 0.5 * (jnp.sum(jnp.where(lt.valid, rho(sl), 0.0)) +
-                          jnp.sum(jnp.where(pt.valid, rho(sp), 0.0)))
-        rl_w = rl * wl
-        Jl_w = Jl * wl[:, None]
-        rp_w = rp * wp[:, None]
-        Jp_w = Jp * wp[:, None, None]
-
-        H6 = (jnp.einsum("ki,kj->ij", Jl_w, Jl_w)
-              + jnp.einsum("kdi,kdj->ij", Jp_w, Jp_w))
-        b6 = (Jl_w.T @ rl_w + jnp.einsum("kdi,kd->i", Jp_w, rp_w))
-        return H6, b6, cost
-
-    H6, b6, cost = jax.vmap(one_frame)(x, ltgts, ptgts)
+    H6, b6, cost = jax.vmap(reduced.eval_reduced)(x[:, :6], rfs)
     return H6, b6, jnp.sum(cost)
 
 
@@ -183,16 +157,17 @@ class SolveResult(NamedTuple):
     converged: jnp.ndarray  # bool
 
 
-def lm_solve(x0, ltgts, ptgts, preint, pair_valid, prior, frame_valid,
-             gravity, Rbl, tbl, cfg, max_iters: int, huber_delta=None,
-             skip=None):
+def lm_solve(x0, rfs, preint, pair_valid, prior, frame_valid,
+             gravity, cfg, max_iters: int, skip=None):
     """Levenberg-Marquardt over the window with fixed associations.
 
     Matches the reference's inner Ceres solve (up to `max_iters` dogleg
-    steps, Estimator.cpp:1428).  Associations (ltgts/ptgts) stay fixed,
-    exactly like the cached vLineFeatures/vPlanFeatures (:1304-1374).
-    `skip` (traced bool) pre-sets the loop's done flag so the whole solve
-    is a no-op — cheaper for the compiler than wrapping in lax.cond.
+    steps, Estimator.cpp:1428).  The point-factor sets (rfs, one
+    ReducedFactor per window frame) stay fixed, exactly like the cached
+    vLineFeatures/vPlanFeatures (:1304-1374); robust-loss weights are
+    baked into them at association time.  `skip` (traced bool) pre-sets
+    the loop's done flag so the whole solve is a no-op — cheaper for the
+    compiler than wrapping in lax.cond.
 
     Deferred-evaluation LM: each iteration evaluates residual blocks ONCE,
     at the trial point, and that evaluation doubles as (a) the accept test
@@ -205,7 +180,7 @@ def lm_solve(x0, ltgts, ptgts, preint, pair_valid, prior, frame_valid,
     W = x0.shape[0]
 
     def blocks_at(x):
-        H6, b6, cp = _point_blocks(x, ltgts, ptgts, Rbl, tbl, huber_delta)
+        H6, b6, cp = _point_blocks(x, rfs)
         # IMU/prior carry no robust loss in the reference
         H30, b30, ci = _imu_blocks(x, preint, pair_valid, gravity)
         Hp, bp, cpr = _prior_block(x, prior)
@@ -267,23 +242,25 @@ def lm_solve(x0, ltgts, ptgts, preint, pair_valid, prior, frame_valid,
             lambda _: blocks_at(x0), None)
     x, _, _, lam, radius, cost, it, done = jax.lax.while_loop(
         cond, body, (x0, H0, b0, jnp.asarray(1e-4, x0.dtype),
-                     jnp.asarray(1.0, x0.dtype), init_cost,
+                     jnp.asarray(cfg.solver.init_radius, x0.dtype), init_cost,
                      jnp.int32(0), done0))
     return SolveResult(x=x, cost=cost, iters=it, converged=done)
 
 
-def marginalize(x, ltgts0, ptgts0, preint, prior, gravity, Rbl, tbl, cfg):
+def marginalize(x, rf0, preint, prior, gravity, cfg):
     """Schur-complement marginalization of frame 0 -> new 15-dim prior.
 
     Mirrors Estimator.cpp:1448-1567 + MarginalizationInfo::marginalize
     (ceresfunc.h:149-225): factors touching frame 0 are the old prior, the
-    IMU factor (0,1) and frame 0's cached point factors; the dropped block
-    is frame 0's 15 dims, the kept block is frame 1's.
+    IMU factor (0,1) and frame 0's cached point factors (its ReducedFactor
+    evaluated at the final pose); the dropped block is frame 0's 15 dims,
+    the kept block is frame 1's.
 
     Deviation: the reference thresholds eigenvalues at an absolute 1e-8 in
-    f64; here the threshold is relative (1e-6 * max eigenvalue), which is
-    the f32-meaningful equivalent.
+    f64; here the threshold is relative (cfg.solver.marg_eps * max
+    eigenvalue), which is the f32-meaningful equivalent.
     """
+    m_eps = cfg.solver.marg_eps
     dtype = x.dtype
     A = jnp.zeros((30, 30), dtype)
     b = jnp.zeros((30,), dtype)
@@ -302,27 +279,20 @@ def marginalize(x, ltgts0, ptgts0, preint, prior, gravity, Rbl, tbl, cfg):
     A = A + JI.T @ JI
     b = b + JI.T @ rI
 
-    # frame 0 point factors (cached targets, current pose, no loss —
+    # frame 0 point factors (cached associations, current pose, no loss —
     # matching the marginalization adds at Estimator.cpp:1521-1549) at the
     # prior-realistic sigma (cfg.solver.marg_point_sigma; residuals here
-    # are in lidar_m units, so weight 1 == sigma lidar_m)
-    x6 = x[0, :6]
-    w_marg = cfg.imu.lidar_m / cfg.solver.marg_point_sigma
-    lt = jax.tree.map(lambda a: a[0], ltgts0)
-    pt = jax.tree.map(lambda a: a[0], ptgts0)
-    rl = factors.line_residual(x6, lt, Rbl, tbl) * w_marg
-    Jl = jax.jacfwd(lambda zz: factors.line_residual(zz, lt, Rbl, tbl))(x6) * w_marg
-    rp = factors.plane_residual(x6, pt, Rbl, tbl) * w_marg
-    Jp = jax.jacfwd(lambda zz: factors.plane_residual(zz, pt, Rbl, tbl))(x6) * w_marg
-    H6 = jnp.einsum("ki,kj->ij", Jl, Jl) + jnp.einsum("kdi,kdj->ij", Jp, Jp)
-    b6 = Jl.T @ rl + jnp.einsum("kdi,kd->i", Jp, rp)
-    A = A.at[0:6, 0:6].add(H6)
-    b = b.at[0:6].add(b6)
+    # are in lidar_m units, so weight 1 == sigma lidar_m).  Scaling every
+    # residual by w scales (H, b) by w².
+    w2 = (cfg.imu.lidar_m / cfg.solver.marg_point_sigma) ** 2
+    H6, b6, _ = reduced.eval_reduced(x[0, :6], rf0)
+    A = A.at[0:6, 0:6].add(w2 * H6)
+    b = b.at[0:6].add(w2 * b6)
 
     # Schur complement: drop rows/cols 0:15
     Amm = 0.5 * (A[0:15, 0:15] + A[0:15, 0:15].T)
     evals, evecs = jnp.linalg.eigh(Amm)
-    eps = 1e-6 * jnp.maximum(jnp.max(evals), 1e-12)
+    eps = m_eps * jnp.maximum(jnp.max(evals), 1e-12)
     inv = jnp.where(evals > eps, 1.0 / jnp.maximum(evals, eps), 0.0)
     Amm_inv = (evecs * inv[None, :]) @ evecs.T
     Arm = A[15:30, 0:15]
@@ -330,7 +300,7 @@ def marginalize(x, ltgts0, ptgts0, preint, prior, gravity, Rbl, tbl, cfg):
     b_star = b[15:30] - Arm @ Amm_inv @ b[0:15]
 
     evals2, evecs2 = jnp.linalg.eigh(0.5 * (A_star + A_star.T))
-    eps2 = 1e-6 * jnp.maximum(jnp.max(evals2), 1e-12)
+    eps2 = m_eps * jnp.maximum(jnp.max(evals2), 1e-12)
     keep = evals2 > eps2
     S_sqrt = jnp.where(keep, jnp.sqrt(jnp.maximum(evals2, 0.0)), 0.0)
     S_inv_sqrt = jnp.where(keep, 1.0 / jnp.maximum(S_sqrt, 1e-20), 0.0)

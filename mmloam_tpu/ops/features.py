@@ -25,13 +25,23 @@ Phases (matching the reference loop structure):
   4. depth-gap corner detection and rejection (flags 100 -> 101)
   5. final label assembly with the near-distance crop (:818-842)
 
-Known deviations (documented; each affects <1% of points):
+Known deviations, MEASURED against the literal transcription oracle
+(tests/feature_oracle.py + tests/test_feature_oracle.py, ray-cast rings of
+the default world; also the `i += 4` phase-3 stride, see the phase-3
+comment):
   * neighbor suppression in phase 2 does not cross segment boundaries;
   * phase 2 uses each point's own adaptive curvature half-window for
-    neighbor marking instead of the C++ loop-carried leftover variable;
+    neighbor marking instead of the C++ loop-carried leftover variable
+    (0.00% of labels on the fixture);
   * the back-normal depth gate in phase 4 uses the i+k point's depth (the
     C++ reads i-k's depth there, unionFeatureExtract.cpp:782 — transcribing
-    the evident intent).
+    the evident intent; 0.00% of labels);
+  * dropping the phase-3 stride changes 0.71% of labels (all additional
+    fold corners — a strict superset).
+  Net agreement vs the oracle: corner recall 1.000 (vs both the literal
+  and intent variants), surf flat-region consistency 1.000, surf exact
+  pick identity ~0.85 (per-segment argmin tie-breaks under noise-scale
+  curvature differences, f32 vs f64).
 """
 
 from __future__ import annotations
@@ -138,7 +148,12 @@ def extract_line_features(pts, intensity, n_valid, cfg):
     angle_last = cosang(p_prev - pts, pts)
     angle_next = cosang(p_next - pts, pts)
     both_steep = (jnp.abs(angle_last) > 0.966) & (jnp.abs(angle_next) > 0.966)
-    curv_half = jnp.where((dis > f.th_distance_faraway) | both_steep, 2, 3)
+    # adaptive half-window: thNumCurvSize for normal points, one less for
+    # faraway/steep ones (unionFeatureExtract.cpp:414-427 shrinks 3 -> 2)
+    ch_hi = f.th_num_curv_size
+    ch_lo = max(f.th_num_curv_size - 1, 1)
+    curv_half = jnp.where((dis > f.th_distance_faraway) | both_steep,
+                          ch_lo, ch_hi)
     angle_flag = jnp.where(both_steep & interior, 1, 0)
 
     def window_sum(x, s):
@@ -150,14 +165,14 @@ def extract_line_features(pts, intensity, n_valid, cfg):
 
     curvs = []
     refls = []
-    for s in (2, 3):
+    for s in (ch_lo, ch_hi):
         dx = window_sum(pts[:, 0], s)
         dy = window_sum(pts[:, 1], s)
         dz = window_sum(pts[:, 2], s)
         curvs.append(dx * dx + dy * dy + dz * dz)
         refls.append(window_sum(intensity, s))
-    curvature = jnp.where(curv_half == 2, curvs[0], curvs[1])
-    reflect = jnp.where(curv_half == 2, refls[0], refls[1])
+    curvature = jnp.where(curv_half == ch_lo, curvs[0], curvs[1])
+    reflect = jnp.where(curv_half == ch_lo, refls[0], refls[1])
     flat_th_sq = (f.th_flat_threshold * dis) ** 2
 
     # inter-point squared gaps for neighbor suppression (:492-517):

@@ -67,6 +67,25 @@ def principal_eigvec3(A, evals):
     return jnp.where(n > 1e-9, v / jnp.maximum(n, 1e-9), fallback)
 
 
+def smallest_eigvec3(A, evals):
+    """Unit eigenvector of the SMALLEST eigenvalue of symmetric A.
+
+    evals are the ascending eigenvalues from eigvalsh3.  Cayley-Hamilton:
+    (A - l_mid I)(A - l_hi I) has columns spanning the l_lo eigenspace.
+    For degenerate spectra the direction is arbitrary — callers gate on
+    eigenvalue ratios (plane fits gate on scatter rank first).
+    """
+    eye = jnp.eye(3, dtype=A.dtype)
+    M = (A - evals[..., 1, None, None] * eye) @ (A - evals[..., 2, None, None] * eye)
+    norms = jnp.linalg.norm(M, axis=-2)             # column norms (..., 3)
+    idx = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(M, idx[..., None, None].astype(jnp.int32)
+                            .repeat(3, axis=-2), axis=-1)[..., 0]
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    fallback = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], A.dtype), v.shape)
+    return jnp.where(n > 1e-9, v / jnp.maximum(n, 1e-9), fallback)
+
+
 def solve3(A, b):
     """Solve A x = b for 3x3 A (..., 3, 3), b (..., 3) via the adjugate.
 

@@ -189,17 +189,23 @@ def insert(vm: VoxelMap, pts, mask, cfg) -> VoxelMap:
     flat = flat.at[fidx.reshape(-1)].add(payload.reshape(-1), mode="drop")
 
     # 3. saturate counts at count_cap by rescaling sums (bounded-inertia
-    # running mean; also keeps count within meta's 7-bit field)
+    # running mean; also keeps count within meta's 7-bit field).  The true
+    # count is decoded with the PER-POINT incoming key, not floor(meta/128):
+    # a cell receiving >127-cnt0 points within one batch pushes the count
+    # into the key bits, and floor-decoding would read back a corrupted
+    # small count, skip the rewrite, and leave the cell with key+1 (it then
+    # reads as stale forever).  meta = key*128 + cnt_true stays exact in
+    # f32 while key*128 + cnt_true < 2^23 (key < 2^15 => cnt_true may reach
+    # ~4e6 before the decode itself degrades — far beyond any batch size).
     vals = flat.at[fidx.reshape(-1)].get(mode="fill", fill_value=0.0)
     vals = vals.reshape(N, _NF)
     meta1 = vals[:, 3]
-    key1 = jnp.floor(meta1 / _META_MOD)
-    cnt1 = meta1 - key1 * _META_MOD
+    cnt1 = meta1 - key * _META_MOD          # exact true count (see above)
     cap = jnp.asarray(cfg.count_cap, dtype)
     scale = jnp.minimum(1.0, cap / jnp.maximum(cnt1, 1.0))
     fixed = jnp.concatenate(
         [vals[:, 0:3] * scale[:, None],
-         (key1 * _META_MOD + jnp.minimum(cnt1, cap))[:, None]], axis=-1)
+         (key * _META_MOD + jnp.minimum(cnt1, cap))[:, None]], axis=-1)
     oidx = jnp.where((cnt1 > cap)[:, None], fidx, n_flat)
     flat = flat.at[oidx.reshape(-1)].set(fixed.reshape(-1), mode="drop")
 
@@ -304,19 +310,26 @@ def query_candidates(vm: VoxelMap, q, mask, cfg):
 def select_k_smallest(d2, ok, k: int):
     """Value-threshold k-smallest selection over the candidate axes.
 
-    Returns (t_k (M,), n (M,), w (M,S,cpr)): the k-th distinct smallest
-    distance (inf when fewer than k valid candidates), the selected count,
-    and the selection mask.  Exact ties at the threshold are all selected
-    (n can exceed k; the kd-tree this replaces breaks such ties
+    Returns (t_k (M,), n (M,), w (M,S,cpr)): the k-th smallest valid
+    distance (inf when fewer than k valid candidates exist), the selected
+    count, and the selection mask.  Exact ties at the threshold are all
+    selected (n can exceed k; the kd-tree this replaces breaks such ties
     arbitrarily) — consumers divide by n, so moments stay correct.
-    k masked min-reductions instead of a sort: no (M,S*cpr) relayout, no
-    top_k, no take_along gathers.
+
+    One `lax.top_k` over the flattened candidate axis instead of k
+    sequential masked min-reductions: the sweeps each forced a full
+    re-read (and partial re-compute) of the candidate block, and dominated
+    the association profile at flagship shapes; top_k is a single pass.
+    The k-th-SMALLEST semantics also fix the old distinct-values
+    formulation, where >= k valid candidates containing an exact f32 tie
+    (mirrored offsets in symmetric scenes square identically) could leave
+    t_k = inf and silently drop the association.
     """
-    cur = jnp.where(ok, d2, jnp.inf)
-    t = None
-    for _ in range(k):
-        t = jnp.min(cur, axis=(1, 2))                       # (M,)
-        cur = jnp.where(cur <= t[:, None, None], jnp.inf, cur)
+    M = d2.shape[0]
+    C = d2.shape[1] * d2.shape[2]
+    cur = jnp.where(ok, d2, jnp.inf).reshape(M, C)
+    neg, _ = jax.lax.top_k(-cur, k)
+    t = -neg[:, k - 1]
     w = ok & (d2 <= t[:, None, None])
     n = jnp.sum(w, axis=(1, 2))
     return t, n, w

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from . import lie
 from .estimator import estimate as est
-from .estimator import initializer, solver
+from .estimator import initializer, reduced, solver
 from .ops import downsample, features, preintegration, undistort, voxelmap
 
 N_KF = 3          # init keyframes (pre-init WINDOWSIZE, unionPoseEstimation.cpp:1481)
@@ -77,6 +77,11 @@ class StepOutput(NamedTuple):
     n_surf: jnp.ndarray
     fast_rotation: jnp.ndarray  # () suppress cloud publishing (:905-917)
     hori_merged: jnp.ndarray    # () Horizon fused into this frame
+    # association telemetry (valid line/plane factors after gates), the
+    # engine's analogue of the reference's feature-count running averages
+    # (unionPoseEstimation.cpp:691-705)
+    n_assoc_line: jnp.ndarray   # () int32
+    n_assoc_plane: jnp.ndarray  # () int32
 
 
 class LIOState(NamedTuple):
@@ -91,6 +96,11 @@ class LIOState(NamedTuple):
     vm_corner: voxelmap.VoxelMap
     vm_surf: voxelmap.VoxelMap
     vm_non: voxelmap.VoxelMap
+    # fine-leaf recent-history maps (reference local map, MapIncrementLocal)
+    vm_local_corner: voxelmap.VoxelMap
+    vm_local_surf: voxelmap.VoxelMap
+    # cached per-frame reduced point factors (slot j = window frame j)
+    cached_rfs: "reduced.ReducedFactor"
     inited: jnp.ndarray     # () bool — LidarIMUInited
     gravity: jnp.ndarray    # (3,)
     last_map_pos: jnp.ndarray   # (3,) position of last map insertion
@@ -148,7 +158,27 @@ def init_state(cfg, Rbl=None, tbl=None, dtype=jnp.float32, kf_imu_cap=256):
         prior=solver.empty_prior(dtype),
         vm_corner=voxelmap.empty_map(cfg.map),
         vm_surf=voxelmap.empty_map(cfg.map),
-        vm_non=voxelmap.empty_map(cfg.map),
+        # the non-feature map is only touched when cfg.use_nonfeature; a
+        # 1-row placeholder keeps the pytree shape stable without carrying
+        # a dead full-size map (64 MB/sequence at flagship dims) through
+        # every replay step
+        vm_non=(voxelmap.empty_map(cfg.map) if cfg.use_nonfeature
+                else voxelmap.VoxelMap(
+                    cells=jnp.zeros((1, voxelmap._cpr(cfg.map) * 4),
+                                    jnp.float32))),
+        vm_local_corner=(voxelmap.empty_map(cfg.local_map)
+                         if cfg.use_local_map else voxelmap.VoxelMap(
+                             cells=jnp.zeros(
+                                 (1, voxelmap._cpr(cfg.local_map) * 4),
+                                 jnp.float32))),
+        vm_local_surf=(voxelmap.empty_map(cfg.local_map)
+                       if cfg.use_local_map else voxelmap.VoxelMap(
+                           cells=jnp.zeros(
+                               (1, voxelmap._cpr(cfg.local_map) * 4),
+                               jnp.float32))),
+        cached_rfs=jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (W,) + a.shape).copy(),
+            reduced.empty_reduced(dtype)),
         inited=jnp.asarray(False),
         gravity=jnp.array([0.0, 0.0, -cfg.imu.gnorm], dtype),
         last_map_pos=jnp.zeros((3,), dtype),
@@ -240,6 +270,7 @@ class PreparedFrame(NamedTuple):
     preint_w: dict
     pv_w: jnp.ndarray
     prior_w: solver.Prior
+    rfs_w: "reduced.ReducedFactor"   # cached factors, shifted with the window
     q_wl_pred: jnp.ndarray   # predicted lidar pose (for fallbacks)
     p_wl_pred: jnp.ndarray
     q_prev: jnp.ndarray      # previous newest body pose
@@ -265,6 +296,13 @@ def prepare_frame(state: LIOState, scan: ScanInput, cfg) -> PreparedFrame:
             scan.hori_pts, scan.hori_intensity, scan.hori_n_valid, cfg)
         h_valid = (jnp.arange(scan.hori_pts.shape[1])[None, :]
                    < scan.hori_n_valid[:, None])
+        # Horizon near/far crop (getHoriFeature's removeNearFarPoints,
+        # unionFeatureExtract.cpp:916, lidars_extrinsic_cali.h:451-477):
+        # applied AFTER feature extraction (matching the reference's order)
+        # so ring context is intact, gating which points reach the stacks
+        h_dist2 = jnp.sum(scan.hori_pts * scan.hori_pts, axis=-1)
+        h_valid = h_valid & (h_dist2 >= cfg.feature.near_points_threshold ** 2) \
+            & (h_dist2 <= cfg.feature.far_points_threshold ** 2)
 
     # rotation gates from the interval's first/last gyro sample (:746-766)
     gz = scan.imu_gyr[:, 2]
@@ -305,7 +343,18 @@ def prepare_frame(state: LIOState, scan: ScanInput, cfg) -> PreparedFrame:
         p_pred_full = p_prev + lie.quat_rotate(q_prev, pre.dp)
         v_pred_full = x_prev[6:9] + lie.quat_rotate(q_prev, pre.dv)
 
-    q_pred_pre = lie.quat_normalize(lie.quat_mul(q_prev, dq_gyro))
+    # IMU_Mode semantics (unionPoseEstimation.cpp:1411-1415, :713, :838-857):
+    # mode 0 runs without IMU — prediction replays the PREVIOUS body deltas
+    # for rotation and translation (velo_delta_Rb/velo_delta_tb persist
+    # across frames in the reference's no-IMU else-branch :842-846); modes
+    # >= 1 integrate the gyro for the pre-init rotation prediction
+    # (:777-779).  Modes 0/1 never initialize (init requires IMU_Mode > 1,
+    # :939), so this pre-init path IS their steady state: single-frame
+    # scan-matching windows with no preintegration factors.
+    if cfg.imu_mode == 0:
+        q_pred_pre = lie.quat_normalize(lie.quat_mul(q_prev, state.dqb))
+    else:
+        q_pred_pre = lie.quat_normalize(lie.quat_mul(q_prev, dq_gyro))
     p_pred_pre = p_prev + lie.quat_rotate(q_prev, state.dtb)
 
     q_pred = jnp.where(state.inited, q_pred_full, q_pred_pre)
@@ -386,18 +435,115 @@ def prepare_frame(state: LIOState, scan: ScanInput, cfg) -> PreparedFrame:
     pv_w = jnp.where(state.inited, pvs, jnp.zeros_like(state.pair_valid))
     prior_w = jax.tree.map(
         lambda p: jnp.where(state.inited, p, jnp.zeros_like(p)), state.prior)
+    # cached point factors shift with the window (slot W-1 is rebuilt by
+    # the estimator); pre-init windows hold a single fresh frame, so the
+    # old factors are cleared
+    rfs_rolled = jax.tree.map(lambda a: jnp.roll(a, -1, axis=0),
+                              state.cached_rfs)
+    rfs_w = jax.tree.map(
+        lambda r: jnp.where(state.inited, r, jnp.zeros_like(r)), rfs_rolled)
 
     return PreparedFrame(x_w=x_w, t_w=t_w, fv_w=fv_w,
                          stacks_w=est.Stacks(*stacks_w), preint_w=preint_w,
-                         pv_w=pv_w, prior_w=prior_w,
+                         pv_w=pv_w, prior_w=prior_w, rfs_w=rfs_w,
                          q_wl_pred=q_wl_pred, p_wl_pred=p_wl_pred,
                          q_prev=q_prev, p_prev=p_prev, have_prev=have_prev,
                          fstack=fstack, fast_rotation=fast_rotation,
                          hori_merged=hori_merged)
 
 
+class PendingInsert(NamedTuple):
+    """Stage-8 map updates, deferred so batched replay drivers can apply
+    them OUTSIDE the per-sequence vmap (the Pallas insert kernel owns the
+    batch axis; a vmapped XLA scatter serializes per batch element with
+    full-map copies — see ops/pallas_insert.py)."""
+
+    corner: jnp.ndarray        # (Kc, 3) lidar-frame front stack
+    corner_mask: jnp.ndarray
+    surf: jnp.ndarray
+    surf_mask: jnp.ndarray
+    Rwl: jnp.ndarray           # (3, 3) insertion pose
+    p: jnp.ndarray             # (3,)
+    do_map: jnp.ndarray        # () global-map gate (non-degenerate scan)
+    do_map_local: jnp.ndarray = None   # () local-map gate (+ move gating)
+    non: jnp.ndarray = None
+    non_mask: jnp.ndarray = None
+
+
+def apply_inserts(state: LIOState, pend: PendingInsert, cfg):
+    """XLA-path map insertion (single-sequence / CPU)."""
+    def ins(vm, pts, mask, mcfg, gate):
+        wpts = pts @ pend.Rwl.T + pend.p[None, :]
+        ok = mask & gate & voxelmap.insert_guard(wpts, pend.p, mcfg)
+        return voxelmap.insert(vm, wpts, ok, mcfg)
+
+    upd = dict(
+        vm_corner=ins(state.vm_corner, pend.corner, pend.corner_mask,
+                      cfg.map, pend.do_map),
+        vm_surf=ins(state.vm_surf, pend.surf, pend.surf_mask, cfg.map,
+                    pend.do_map))
+    if cfg.use_nonfeature:
+        upd["vm_non"] = ins(state.vm_non, pend.non, pend.non_mask, cfg.map,
+                            pend.do_map)
+    if cfg.use_local_map:
+        upd["vm_local_corner"] = ins(state.vm_local_corner, pend.corner,
+                                     pend.corner_mask, cfg.local_map,
+                                     pend.do_map_local)
+        upd["vm_local_surf"] = ins(state.vm_local_surf, pend.surf,
+                                   pend.surf_mask, cfg.local_map,
+                                   pend.do_map_local)
+    return state._replace(**upd)
+
+
+def apply_inserts_batched(state: LIOState, pend: PendingInsert, cfg):
+    """Pallas-path map insertion over a leading batch axis (TPU).
+
+    state/pend carry a leading batch dim; each map's rows are RMW'd by
+    ops/pallas_insert.insert_batched.  Semantics == vmap(apply_inserts).
+    """
+    from .ops import pallas_insert
+
+    def prep(pts, mask, mcfg, gate):
+        wpts = jnp.einsum("bki,bji->bkj", pts, pend.Rwl) + pend.p[:, None, :]
+        ok = (mask & gate[:, None]
+              & jax.vmap(lambda w, c: voxelmap.insert_guard(w, c, mcfg))(
+                  wpts, pend.p))
+        return wpts, ok
+
+    def ins(vm, pts, mask, mcfg, gate):
+        wpts, ok = prep(pts, mask, mcfg, gate)
+        return voxelmap.VoxelMap(
+            cells=pallas_insert.insert_batched(vm.cells, wpts, ok, mcfg))
+
+    upd = dict(
+        vm_corner=ins(state.vm_corner, pend.corner, pend.corner_mask,
+                      cfg.map, pend.do_map),
+        vm_surf=ins(state.vm_surf, pend.surf, pend.surf_mask, cfg.map,
+                    pend.do_map))
+    if cfg.use_nonfeature:
+        upd["vm_non"] = ins(state.vm_non, pend.non, pend.non_mask, cfg.map,
+                            pend.do_map)
+    if cfg.use_local_map:
+        upd["vm_local_corner"] = ins(state.vm_local_corner, pend.corner,
+                                     pend.corner_mask, cfg.local_map,
+                                     pend.do_map_local)
+        upd["vm_local_surf"] = ins(state.vm_local_surf, pend.surf,
+                                   pend.surf_mask, cfg.local_map,
+                                   pend.do_map_local)
+    return state._replace(**upd)
+
+
 def step(state: LIOState, scan: ScanInput, cfg):
     """One scan through the full LIO stack.  Pure; jit/vmap/scan-able."""
+    state, out, pend = step_core(state, scan, cfg)
+    return apply_inserts(state, pend, cfg), out
+
+
+def step_core(state: LIOState, scan: ScanInput, cfg):
+    """`step` minus the map writes — returns (state, out, PendingInsert).
+
+    Batched replay drivers vmap THIS and apply the inserts with the
+    batch-native Pallas kernel (replay.replay_batch)."""
     dtype = state.x.dtype
     W = cfg.solver.window
 
@@ -415,29 +561,40 @@ def step(state: LIOState, scan: ScanInput, cfg):
     # (EstimateLidarPose gate :1030-1035)
     can_estimate = state.map_has_data
 
+    refresh_slot = state.step_idx % (W - 1)
+
     def est_branch(_):
         # `full` is traced data — the unified estimate handles both regimes
         return est.estimate(
-            x_w, stacks_w, state.vm_corner, state.vm_surf, preint_w, pv_w,
-            prior_w, fv_w, state.gravity, state.Rbl, state.tbl, cfg,
-            full_window=full, vm_non=state.vm_non)
+            x_w, stacks_w, pf.rfs_w, state.vm_corner, state.vm_surf,
+            preint_w, pv_w, prior_w, fv_w, state.gravity, state.Rbl,
+            state.tbl, cfg, full_window=full, refresh_slot=refresh_slot,
+            vm_local_corner=state.vm_local_corner,
+            vm_local_surf=state.vm_local_surf, vm_non=state.vm_non)
 
     def skip_branch(_):
         return est.EstimateResult(
             x=x_w, degenerate=jnp.asarray(False), fail=jnp.asarray(False),
-            sv_min=jnp.asarray(-1.0, dtype), prior=prior_w,
+            sv_min=jnp.asarray(-1.0, dtype), prior=prior_w, rfs=pf.rfs_w,
             n_line=jnp.int32(0), n_plane=jnp.int32(0))
 
     res = jax.lax.cond(can_estimate, est_branch, skip_branch, None)
     # solve-jump guard (cfg.failsafe.max_solve_jump): a failed
     # localizability check plus a large newest-pose jump means the solver
-    # slid along a flat cost direction — keep the predicted window instead
+    # slid along a flat cost direction — keep the predicted window instead.
+    # The prior is INVALIDATED on revert rather than restored: prior_w binds
+    # the current slot-0 frame, but the window shifts every step, so a
+    # restored prior would be applied to a different frame next step with a
+    # stale linearization point — during a multi-scan degenerate stretch it
+    # would anchor slot 0 to an increasingly old pose and drag the
+    # dead-reckoned trajectory backward.  Dropping it costs one frame of
+    # marginalized history; the next successful full-window solve rebuilds
+    # it.
     jump = jnp.linalg.norm(res.x[-1, 0:3] - x_w[-1, 0:3])
     revert = res.fail & (jump > cfg.failsafe.max_solve_jump)
     res = res._replace(x=jnp.where(revert, x_w, res.x),
-                       prior=jax.tree.map(
-                           lambda a, b: jnp.where(revert, a, b),
-                           prior_w, res.prior))
+                       prior=res.prior._replace(
+                           valid=res.prior.valid & ~revert))
     # marginalization gating happened inside estimate
     prior_next = res.prior
 
@@ -460,30 +617,38 @@ def step(state: LIOState, scan: ScanInput, cfg):
     # and the gates only rewrite transformTobeMapped (:1041-1067)
     x_next = x_opt
 
-    # ---- 8. map update (move-gated front-frame insertion, :1070-1136) --
+    # ---- 8. map update (front-frame insertion, :1070-1136) -------------
+    # deferred to apply_inserts/apply_inserts_batched (see PendingInsert).
+    # Gating mirrors the reference: the GLOBAL cube map receives every
+    # non-degenerate scan's stacks (laserCloudCornerForMap is set
+    # unconditionally inside !is_degenerate, Estimator.cpp:1074-1077, and
+    # threadMapIncrement :92-146 pushes every batch into MAP_MANAGER).
+    # The LOCAL map is move-gated at >= 0.5 m^2 only under
+    # cfg.solver.local_map_move_gate (the reference's :1083,:1125 gate is
+    # a CPU kd-tree-rebuild cost bound — see the config docstring); the
+    # default inserts it every non-degenerate scan like the global map.
     moved = jnp.sum((p_pub - state.last_map_pos) ** 2) >= cfg.solver.map_move_dist_sq
-    do_map = (~res.fail) & (moved | ~state.map_has_data)
+    do_map = ~res.fail
+    if cfg.solver.local_map_move_gate:
+        do_map_local = (~res.fail) & (moved | ~state.map_has_data)
+    else:
+        do_map_local = do_map
     front_stack = jax.tree.map(lambda a: a[front_idx], est.Stacks(*stacks_w))
     Rwl = lie.quat_to_matrix(q_pub)
-
-    def insert(vm, pts, mask):
-        wpts = pts @ Rwl.T + p_pub[None, :]
-        ok = mask & do_map & voxelmap.insert_guard(wpts, p_pub, cfg.map)
-        return voxelmap.insert(vm, wpts, ok, cfg.map)
-
-    vm_corner = insert(state.vm_corner, front_stack.corner, front_stack.corner_mask)
-    vm_surf = insert(state.vm_surf, front_stack.surf, front_stack.surf_mask)
-    vm_non = state.vm_non
-    if cfg.use_nonfeature:
-        vm_non = insert(state.vm_non, front_stack.non, front_stack.non_mask)
-    last_map_pos = jnp.where(do_map, p_pub, state.last_map_pos)
+    pend = PendingInsert(
+        corner=front_stack.corner, corner_mask=front_stack.corner_mask,
+        surf=front_stack.surf, surf_mask=front_stack.surf_mask,
+        Rwl=Rwl, p=p_pub, do_map=do_map, do_map_local=do_map_local,
+        **(dict(non=front_stack.non, non_mask=front_stack.non_mask)
+           if cfg.use_nonfeature else {}))
+    last_map_pos = jnp.where(do_map_local, p_pub, state.last_map_pos)
     map_has_data = state.map_has_data | do_map
 
     # ---- 9. pre-init bookkeeping + TryMAPInitialization ----------------
     new_state = state._replace(
         x=x_next, t=t_w, frame_valid=fv_w, stacks=est.Stacks(*stacks_w),
         preint=preint_w, pair_valid=pv_w, prior=prior_next,
-        vm_corner=vm_corner, vm_surf=vm_surf, vm_non=vm_non,
+        cached_rfs=res.rfs,
         last_map_pos=last_map_pos, map_has_data=map_has_data,
         dqb=jnp.where(have_prev, lie.quat_mul(lie.quat_conj(q_prev),
                                               lie.exp_quat(x_next[-1][3:6])),
@@ -504,8 +669,20 @@ def step(state: LIOState, scan: ScanInput, cfg):
         def refine(s):
             g_new, v_new = initializer.refine_gravity(
                 s.x, s.preint, s.pair_valid, s.gravity, cfg.imu.gnorm)
+            # the marginalization prior binds slot 0's full 15-dim block and
+            # was linearized at the OLD velocity/gravity; leaving it intact
+            # would pull v[0] straight back toward the pre-refinement value
+            # next solve, undoing the refinement.  Zeroing the prior's
+            # velocity columns drops that stale constraint (the refined v
+            # changed only velocities, so no linearization-point shift is
+            # needed for the other columns); velocity information regrows
+            # within a couple of scans from the IMU + point factors.
+            prior = s.prior._replace(
+                lin_J=s.prior.lin_J.at[:, 6:9].set(0.0),
+                x0=s.prior.x0.at[6:9].set(v_new[0]))
             return s._replace(gravity=g_new,
-                              x=s.x.at[:, 6:9].set(v_new))
+                              x=s.x.at[:, 6:9].set(v_new),
+                              prior=prior)
 
         new_state = jax.lax.cond(do_refine, refine, lambda s: s, new_state)
 
@@ -523,8 +700,9 @@ def step(state: LIOState, scan: ScanInput, cfg):
                                               stacks_w.surf_mask, False)
                                     ).astype(jnp.int32),
                      fast_rotation=pf.fast_rotation,
-                     hori_merged=pf.hori_merged)
-    return new_state, out
+                     hori_merged=pf.hori_merged,
+                     n_assoc_line=res.n_line, n_assoc_plane=res.n_plane)
+    return new_state, out, pend
 
 
 def _init_bookkeeping(state: LIOState, scan: ScanInput, q_pub, p_pub, fstack,
@@ -569,8 +747,12 @@ def _init_bookkeeping(state: LIOState, scan: ScanInput, q_pub, p_pub, fstack,
     kf_imu = state.kf_imu.at[-1, idx].set(samples, mode="drop")
     kf_mask = state.kf_imu_mask.at[-1, idx].set(True, mode="drop")
     n_new = jnp.minimum(n0 + jnp.sum(scan.imu_mask.astype(jnp.int32)), Mi)
-    state = state._replace(kf_imu=kf_imu, kf_imu_mask=kf_mask,
-                           kf_imu_n=state.kf_imu_n.at[-1].set(n_new))
+    state = state._replace(
+        kf_imu=kf_imu, kf_imu_mask=kf_mask,
+        # under x64 (tests) the count promotes to int64; cast back so the
+        # scatter dtype matches (future JAX errors on the implicit cast)
+        kf_imu_n=state.kf_imu_n.at[-1].set(
+            n_new.astype(state.kf_imu_n.dtype)))
 
     # first-interval average specific force (negated), :428-432
     avg = -preintegration.average_acc(scan.imu_acc, scan.imu_mask, cfg.imu)
@@ -604,7 +786,10 @@ def _try_init(state: LIOState, cfg):
     tlb = -state.Rbl.T @ state.tbl
     res = initializer.initialize(state.kf_x[:, 4:7], state.kf_x[:, 0:4],
                                  state.avg_acc, preint9, cfg.imu.gnorm,
-                                 Rlb, tlb)
+                                 Rlb, tlb,
+                                 gravity_prior_w=cfg.init_gravity_prior_w,
+                                 bias_bound=cfg.failsafe.init_bias_bound,
+                                 velocity_bound=cfg.failsafe.init_velocity_bound)
 
     def on_ok(s):
         W = cfg.solver.window
@@ -660,6 +845,8 @@ def _try_init(state: LIOState, cfg):
                           preint=preint,
                           pair_valid=pv, inited=jnp.asarray(True),
                           gravity=res.gravity.astype(dtype),
-                          prior=solver.empty_prior(dtype))
+                          prior=solver.empty_prior(dtype),
+                          cached_rfs=jax.tree.map(jnp.zeros_like,
+                                                  s.cached_rfs))
 
     return jax.lax.cond(res.ok, on_ok, lambda s: s, state)

@@ -30,7 +30,8 @@ def _hori_dirs(n_az):
 def make_sequence(world, traj, t0, n_scans, cfg, scan_hz=10.0, imu_rate=200.0,
                   range_noise=0.0, imu_noise=(0.0, 0.0), bg=(0, 0, 0),
                   ba=(0, 0, 0), g_vec=None, n_az=900, seed=0,
-                  dtype=np.float32, with_hori=False, hori_n_az=None):
+                  dtype=np.float32, with_hori=False, hori_n_az=None,
+                  to_device=True):
     """Build a stacked ScanInput pytree of `n_scans` scans + ground truth.
 
     Scan i spans (t_{i-1}, t_i] with stamp t_i = t0 + (i+1)/scan_hz, points
@@ -136,7 +137,11 @@ def make_sequence(world, traj, t0, n_scans, cfg, scan_hz=10.0, imu_rate=200.0,
             imu_dt=imu_dt.astype(dtype), imu_mask=imu_mask, **hori))
         gt.append((traj.rot(ts_end), traj.pos(ts_end)))
 
-    stacked = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *scans)
+    # `to_device=False` keeps host numpy (callers stacking many sequences
+    # should transfer ONCE — per-leaf-per-sequence transfers over the
+    # tunneled backend cost far more than one bulk device_put)
+    conv = jnp.asarray if to_device else np.asarray
+    stacked = jax.tree.map(lambda *xs: conv(np.stack(xs)), *scans)
     gt_R = np.stack([g[0] for g in gt])
     gt_p = np.stack([g[1] for g in gt])
     return stacked, gt_R, gt_p
@@ -176,10 +181,24 @@ def replay_batch(states, scans, cfg, mesh=None):
     full state (window, prior, voxel maps); no intra-model cross-device
     traffic.  scans axes: (T, B, ...) — time-major for lax.scan.
     """
-    key = (cfg, None if mesh is None else tuple(mesh.axis_names))
+    # On TPU backends the map writes run OUTSIDE the per-sequence vmap via
+    # the batch-native Pallas row-RMW kernel (ops/pallas_insert.py): a
+    # vmapped XLA scatter serializes per batch element and copies whole
+    # maps.  CPU (tests) keeps the plain XLA path.
+    use_pallas = jax.default_backend() != "cpu"
+    key = (cfg, None if mesh is None else tuple(mesh.axis_names), use_pallas)
     if key not in _BATCH_RUNNERS:
         @jax.jit
         def run(bs, bsc):
+            if use_pallas:
+                def body(s, sc):
+                    s, outs, pend = jax.vmap(
+                        lambda st, x: pipeline.step_core(st, x, cfg))(s, sc)
+                    s = pipeline.apply_inserts_batched(s, pend, cfg)
+                    return s, outs
+
+                return jax.lax.scan(body, bs, bsc)
+
             def one(s, sc):
                 return jax.lax.scan(lambda st, x: pipeline.step(st, x, cfg),
                                     s, sc)

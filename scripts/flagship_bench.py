@@ -1,0 +1,91 @@
+"""Flagship-config throughput probe: LIOConfig() defaults, dual-lidar.
+
+Measures batched replay on the FULL-SCALE configuration (256x256x64 map,
+512/2048 stacks, 16x1024 velo + 6x2048 hori scans) — the config the
+BASELINE.md 200 scans/sec/chip target is defined against.
+
+    python scripts/flagship_bench.py [batch] [n_scans]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_inputs(batch, n_scans, cfg, seed0=0, cache_tag=None):
+    """Host-side sequence build (1-core raycast is slow — cache to /tmp)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmloam_tpu import pipeline, replay
+    from mmloam_tpu.data import synthetic
+
+    cache = None
+    if cache_tag is not None:
+        cache = f"/tmp/flagship_seqs_{cache_tag}_{batch}x{n_scans}.npz"
+    if cache and os.path.exists(cache):
+        z = np.load(cache)
+        arrs = {k: z[k] for k in z.files}
+        batch_scans = pipeline.ScanInput(**{
+            k: jnp.asarray(v) for k, v in arrs.items()})
+    else:
+        world = synthetic.default_world()
+        seqs = []
+        t0 = time.time()
+        for b in range(batch):
+            traj = synthetic.Trajectory(speed=0.6 + 0.05 * (b % 8),
+                                        z_amp=0.1,
+                                        yaw_rate=0.2 + 0.02 * (b % 8))
+            scans, _, _ = replay.make_sequence(
+                world, traj, 0.0, n_scans, cfg,
+                n_az=cfg.scan.max_pts_per_line, seed=seed0 + b,
+                range_noise=0.003, dtype=np.float32, with_hori=True,
+                hori_n_az=cfg.scan.hori_max_pts_per_line, to_device=False)
+            seqs.append(scans)
+            print(f"  seq {b}: {time.time()-t0:.1f}s", flush=True)
+        # stack on host, transfer once (per-leaf-per-seq transfers over the
+        # tunnel cost minutes)
+        host = jax.tree.map(lambda *xs: np.stack(xs, axis=1), *seqs)
+        if cache:
+            np.savez(cache, **{k: v for k, v in host._asdict().items()
+                               if v is not None})
+        batch_scans = jax.tree.map(jnp.asarray, host)
+    batch_state = replay.stack_states(
+        [pipeline.init_state(cfg) for _ in range(batch)])
+    return batch_state, batch_scans
+
+
+def main(batch=8, n_scans=20):
+    from mmloam_tpu import replay
+    from mmloam_tpu.config import LIOConfig
+
+    cfg = LIOConfig()
+    t0 = time.time()
+    batch_state, batch_scans = build_inputs(batch, n_scans, cfg,
+                                            cache_tag="v1")
+    print(f"inputs built: {time.time()-t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    st, outs = replay.replay_batch(batch_state, batch_scans, cfg)
+    np.asarray(outs.pose_p)
+    print(f"compile+first run: {time.time()-t0:.1f}s", flush=True)
+
+    timed = batch_scans._replace(pts=batch_scans.pts + np.float32(1e-5))
+    t0 = time.time()
+    st, outs = replay.replay_batch(batch_state, timed, cfg)
+    np.asarray(outs.pose_p)
+    dt = time.time() - t0
+    sps = batch * n_scans / dt
+    print(f"timed: {dt:.2f}s for {batch}x{n_scans} scans -> "
+          f"{sps:.2f} scans/sec/chip (target 200)", flush=True)
+    print("inited:", np.asarray(outs.inited[:, 0]).astype(int).tolist(),
+          flush=True)
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:3]]
+    main(*args)

@@ -108,38 +108,47 @@ def main(batch=8):
            spts, smask,
            perturb=lambda a, r: (a[0], a[1] + np.float32(1e-4), a[2]))
 
-    # ---- associate_all (one round, all frames) ----------------------------
-    asf = jax.jit(jax.vmap(lambda x, st, vc, vs: est._associate_all(
-        x, est.Stacks(*st), voxelmap.VoxelMap(vc), voxelmap.VoxelMap(vs),
-        None, jnp.eye(3), jnp.zeros(3), cfg, jnp.float32(1.0),
-        jnp.float32(3e-4), jnp.ones(cfg.solver.window, bool))))
-    t_assoc = timeit("associate_all (1 round)", asf, bstate.x,
+    # ---- build_reduced (one frame association + compression) --------------
+    from mmloam_tpu.estimator import reduced as red
+    from mmloam_tpu.ops import voxelmap as vx
+
+    huber = jnp.float32(1e12)
+    asf = jax.jit(jax.vmap(lambda x, st, vc, vs, lc, ls: red.build_reduced(
+        x[-1, :6], jax.tree.map(lambda a: a[-1], est.Stacks(*st)),
+        vx.VoxelMap(vc), vx.VoxelMap(vs), jnp.eye(3), jnp.zeros(3), cfg,
+        jnp.float32(1.0), jnp.float32(3e-4), huber, jnp.asarray(True),
+        vm_local_corner=vx.VoxelMap(lc) if cfg.use_local_map else None,
+        vm_local_surf=vx.VoxelMap(ls) if cfg.use_local_map else None)))
+    t_assoc = timeit("build_reduced (1 frame)", asf, bstate.x,
                      tuple(bstate.stacks), bstate.vm_corner.cells,
-                     bstate.vm_surf.cells,
-                     perturb=lambda a, r: (a[0] + np.float32(1e-6), a[1],
-                                           a[2], a[3]))
+                     bstate.vm_surf.cells, bstate.vm_local_corner.cells,
+                     bstate.vm_local_surf.cells,
+                     perturb=lambda a, r: (a[0] + np.float32(1e-6),) + a[1:])
 
     # ---- lm_solve (one call, max_inner_iters) ------------------------------
-    lt, pt, normals, nv = asf(bstate.x, tuple(bstate.stacks),
-                              bstate.vm_corner.cells, bstate.vm_surf.cells)
-    fv = jnp.ones((B, cfg.solver.window), bool)
+    rf1 = asf(bstate.x, tuple(bstate.stacks), bstate.vm_corner.cells,
+              bstate.vm_surf.cells, bstate.vm_local_corner.cells,
+              bstate.vm_local_surf.cells)
+    W = cfg.solver.window
+    rfs = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[:, None], (B, W) + a.shape[1:]), rf1)
+    fv = jnp.ones((B, W), bool)
 
     lmf = jax.jit(jax.vmap(
-        lambda x, lt, pt, preint, pv, prior, fv, g: solver.lm_solve(
-            x, lt, pt, preint, pv, solver.Prior(*prior), fv, g,
-            jnp.eye(3), jnp.zeros(3), cfg, cfg.solver.max_inner_iters,
-            huber_delta=None)))
-    t_lm = timeit("lm_solve (<=10 iters)", lmf, bstate.x, lt, pt,
+        lambda x, rfs, preint, pv, prior, fv, g: solver.lm_solve(
+            x, rfs, preint, pv, solver.Prior(*prior), fv, g,
+            cfg, cfg.solver.max_inner_iters)))
+    t_lm = timeit("lm_solve (<=10 iters)", lmf, bstate.x, rfs,
                   bstate.preint, bstate.pair_valid, tuple(bstate.prior), fv,
                   bstate.gravity,
                   perturb=lambda a, r: (a[0] + np.float32(1e-6),) + a[1:])
 
     # ---- marginalize -------------------------------------------------------
     mgf = jax.jit(jax.vmap(
-        lambda x, lt, pt, preint, prior, g: solver.marginalize(
-            x, lt, pt, preint, solver.Prior(*prior), g, jnp.eye(3),
-            jnp.zeros(3), cfg)))
-    timeit("marginalize", mgf, bstate.x, lt, pt, bstate.preint,
+        lambda x, rfs, preint, prior, g: solver.marginalize(
+            x, jax.tree.map(lambda a: a[0], rfs), preint,
+            solver.Prior(*prior), g, cfg)))
+    timeit("marginalize", mgf, bstate.x, rfs, bstate.preint,
            tuple(bstate.prior), bstate.gravity,
            perturb=lambda a, r: (a[0] + np.float32(1e-6),) + a[1:])
 

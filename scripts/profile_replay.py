@@ -18,29 +18,37 @@ from collections import defaultdict
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main(batch=8, n_scans=8):
+def main(batch=8, n_scans=8, flagship=False):
     import jax
 
     from mmloam_tpu import pipeline, replay
-    from mmloam_tpu.config import tiny_config
+    from mmloam_tpu.config import tiny_config, LIOConfig
     from mmloam_tpu.data import synthetic
 
-    cfg = tiny_config()
-    world = synthetic.default_world()
-    seqs = []
-    for b in range(batch):
-        traj = synthetic.Trajectory(speed=0.6 + 0.05 * b, z_amp=0.1,
-                                    yaw_rate=0.2 + 0.02 * b)
-        scans, _, _ = replay.make_sequence(world, traj, 0.0, n_scans, cfg,
-                                           n_az=720, seed=b,
-                                           range_noise=0.003,
-                                           dtype=np.float32)
-        seqs.append(scans)
-    batch_scans = replay.stack_sequences(seqs)
-    batch_state = replay.stack_states(
-        [pipeline.init_state(cfg) for _ in range(batch)])
+    if flagship:
+        from flagship_bench import build_inputs
+
+        cfg = LIOConfig()
+        batch_state, batch_scans = build_inputs(batch, n_scans, cfg,
+                                                cache_tag="v1")
+    else:
+        cfg = tiny_config()
+        world = synthetic.default_world()
+        seqs = []
+        for b in range(batch):
+            traj = synthetic.Trajectory(speed=0.6 + 0.05 * b, z_amp=0.1,
+                                        yaw_rate=0.2 + 0.02 * b)
+            scans, _, _ = replay.make_sequence(world, traj, 0.0, n_scans, cfg,
+                                               n_az=720, seed=b,
+                                               range_noise=0.003,
+                                               dtype=np.float32)
+            seqs.append(scans)
+        batch_scans = replay.stack_sequences(seqs)
+        batch_state = replay.stack_states(
+            [pipeline.init_state(cfg) for _ in range(batch)])
 
     # warm up (compile)
     st, outs = replay.replay_batch(batch_state, batch_scans, cfg)
@@ -91,6 +99,29 @@ def main(batch=8, n_scans=8):
         by_name[name.split(".")[0]] += dur
         total += dur
 
+    # (family, source) pairs for the big op families
+    by_fam_src = defaultdict(float)
+    for ev in tr.get("traceEvents", []):
+        if ev.get("ph") != "X":
+            continue
+        name = ev.get("name", "")
+        args = ev.get("args") or {}
+        dur = float(ev.get("dur", 0.0))
+        if dur <= 0:
+            continue
+        low = name.lower()
+        if low.startswith(("jit_", "cond", "while", "body", "xlamodule",
+                           "thread", "program", "step")):
+            continue
+        fam = name.split(".")[0].split("(")[0]
+        if fam in ("dynamic-update-slice", "fusion", "copy", "sort",
+                   "dynamic-slice", "custom-call", "pad", "reshape"):
+            src = args.get("source") or args.get("long_name") or "?"
+            by_fam_src[(fam, src[:90])] += dur
+    print("\n== top by (family, source) ==")
+    for (f, k), v in sorted(by_fam_src.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"{v/1e3:9.2f} ms  {f:24s} {k}")
+
     print(f"\n== total leaf-op time: {total/1e3:.2f} ms (sum over events)")
     print("\n== top by source ==")
     for k, v in sorted(by_src.items(), key=lambda kv: -kv[1])[:25]:
@@ -101,5 +132,6 @@ def main(batch=8, n_scans=8):
 
 
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:3]]
-    main(*args)
+    flagship = "--flagship" in sys.argv
+    args = [int(a) for a in sys.argv[1:3] if not a.startswith("--")]
+    main(*args, flagship=flagship)

@@ -46,3 +46,8 @@ def _clear_jax_caches_between_modules():
     import jax
 
     jax.clear_caches()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-scale (flagship-config) tests, minutes-long")

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 from mmloam_tpu.config import tiny_config
 from mmloam_tpu import lie
 from mmloam_tpu.data import synthetic
-from mmloam_tpu.estimator import estimate, factors, solver
+from mmloam_tpu.estimator import estimate, factors, reduced, solver
 from mmloam_tpu.ops import voxelmap as vx
 from mmloam_tpu.ops.preintegration import preintegrate, sqrt_info_from_cov
 
@@ -17,8 +17,18 @@ TBL = jnp.zeros(3, dtype=jnp.float64)
 LIDAR_M = CFG.imu.lidar_m
 
 
-def build_world_maps(rng, n=6000):
-    """Populate surf/corner maps from the default box world's surfaces."""
+def build_world_maps(rng, n=24000):
+    """Populate surf/corner maps from the default box world's surfaces.
+
+    `n` must give real-scan-like density on the FAR walls: the association
+    gate requires the 5th NN within sqrt(thres_dist)=1 m (Estimator.cpp
+    member threshold schedule tail), and a starved far wall silently drops
+    that wall's normal direction from the solve — measured with n=6000 the
+    12 m x-walls starve at thres 1, the x direction becomes unobservable,
+    and the associate->solve loop holds a spurious fixed point ~0.10 m off
+    along x (scripts history: probe_outer).  Real accumulated maps are
+    dense there; the map must be too.
+    """
     world = synthetic.default_world()
     # sample wall points: cast rays from the center in random directions
     dirs = rng.normal(size=(n, 3))
@@ -39,13 +49,24 @@ def build_world_maps(rng, n=6000):
     return world, vm_surf, vm_corner
 
 
-def scan_points(world, R_wl, t_wl, rng, n=400):
-    """Lidar-frame points observed from a pose (surf samples on walls)."""
+def scan_points(world, R_wl, t_wl, rng, n=400, range_noise=0.003):
+    """Lidar-frame points observed from a pose (surf samples on walls).
+
+    `range_noise` matters: the association gate requires the point's
+    geometric error against its fitted plane to exceed 1e-5
+    (Estimator.cpp:1311-1317) — on a NOISE-FREE synthetic scan a point at
+    the true pose lies exactly on its wall plane, so nearly every good
+    factor is rejected there and the optimum equilibrates ~4 cm off truth
+    where only junction-corrupted fits survive.  Real lidar noise
+    (sigma >= 1.5 mm) keeps errors above the gate; 3 mm matches the other
+    end-to-end tests.
+    """
     dirs = rng.normal(size=(n, 3))
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     dirs_w = dirs @ R_wl.T
     r = world.raycast(t_wl, dirs_w)
     ok = np.isfinite(r)
+    r = r + rng.normal(scale=range_noise, size=r.shape)
     return (dirs * np.where(ok, r, 0.0)[:, None]).astype(np.float64), ok
 
 
@@ -76,10 +97,13 @@ def test_single_frame_pose_recovery():
     preint = {k: jnp.zeros((1,) + s) for k, s in
               dict(dq=(4,), dp=(3,), dv=(3,), jac=(15, 15),
                    sqrt_info=(15, 15), dt=(), bg=(3,), ba=(3,)).items()}
+    rfs0 = jax.tree.map(lambda a: jnp.zeros((1,) + a.shape, a.dtype),
+                        reduced.empty_reduced(jnp.float64))
     res = estimate.estimate(
-        x0, stacks, vm_corner, vm_surf, preint, jnp.zeros(1, bool),
+        x0, stacks, rfs0, vm_corner, vm_surf, preint, jnp.zeros(1, bool),
         solver.empty_prior(jnp.float64), jnp.ones(1, bool),
-        jnp.array([0.0, 0.0, -9.805]), RBL, TBL, CFG, full_window=False)
+        jnp.array([0.0, 0.0, -9.805]), RBL, TBL, CFG, full_window=False,
+        refresh_slot=jnp.int32(0))
     assert int(res.n_plane) > 200, "plane association should succeed"
     err_t = np.linalg.norm(np.array(res.x[0, 0:3]) - t_gt)
     err_r = np.linalg.norm(np.array(res.x[0, 3:6]) - x_from_pose(R_gt, t_gt)[3:6])
@@ -258,22 +282,31 @@ def test_velocity_recovery():
             n_ /= np.linalg.norm(n_)
             proj[f, k] = p_l[f, k] + P_true[f]   # plane through the true point
             sqrt_info[f, k, 0] = n_
-    pt = factors.PlaneTargets(p_l=jnp.asarray(p_l), proj=jnp.asarray(proj),
-                              sqrt_info=jnp.asarray(sqrt_info),
-                              valid=jnp.ones((W, K), bool))
-    lt = factors.LineTargets(p_l=jnp.zeros((W, 1, 3), jnp.float32),
-                             c=jnp.zeros((W, 1, 3), jnp.float32),
-                             u=jnp.tile(jnp.asarray([1.0, 0, 0], jnp.float32),
-                                        (W, 1, 1)),
-                             valid=jnp.zeros((W, 1), bool))
+    # compress the plane factors into per-frame ReducedFactors (the solver's
+    # factor representation); association pose = the position-true states
+    from mmloam_tpu.estimator import reduced as red
+
+    def rf_frame(f):
+        o = jnp.asarray(P_true[f])
+        Q, g0, c0 = red._accumulate(
+            jnp.asarray(p_l[f]), jnp.asarray(proj[f]) - o[None, :],
+            jnp.asarray(sqrt_info[f]), jnp.ones(K, bool),
+            jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32))
+        return red.ReducedFactor(
+            Q=Q, g0=g0, c0=c0,
+            z0=red._zvec(jnp.eye(3, dtype=jnp.float32), o, o), o=o,
+            NtN=jnp.zeros((3, 3), jnp.float32), n_line=jnp.int32(0),
+            n_plane=jnp.int32(K), n_normal=jnp.int32(K))
+
+    rfs = jax.tree.map(lambda *xs: jnp.stack(xs),
+                       *[rf_frame(f) for f in range(W)])
 
     x0 = np.zeros((W, 15), np.float32)
     x0[:, 0:3] = P_true
     x0[:, 6] = -1.0                                   # wrong velocity
-    res = solver.lm_solve(jnp.asarray(x0), lt, pt, preint, pair_valid,
+    res = solver.lm_solve(jnp.asarray(x0), rfs, preint, pair_valid,
                           solver.empty_prior(), jnp.ones(W, bool), g,
-                          jnp.eye(3, dtype=jnp.float32),
-                          jnp.zeros(3, jnp.float32), cfg, 30)
+                          cfg, 30)
     x = np.asarray(res.x)
     np.testing.assert_allclose(x[:, 6], vtrue, atol=1e-2)
     np.testing.assert_allclose(x[:, 0], P_true[:, 0], atol=1e-3)
