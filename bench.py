@@ -64,11 +64,19 @@ def main(batch=16, n_scans=30, seed0=None):
 
     st, outs = replay.replay_batch(batch_state, batch_scans, cfg)
     np.asarray(outs.pose_p)
-    timed = batch_scans._replace(pts=batch_scans.pts + np.float32(1e-5))
-    t0 = time.perf_counter()
-    st, outs = replay.replay_batch(batch_state, timed, cfg)
-    np.asarray(outs.pose_p)
-    dt = time.perf_counter() - t0
+    # three timed repetitions, each on freshly perturbed inputs (so no
+    # execution-result cache can serve them); report the MEDIAN and the
+    # spread — a single timing on the tunneled backend is too noisy to
+    # steer optimization
+    times = []
+    for rep in range(3):
+        timed = batch_scans._replace(
+            pts=batch_scans.pts + np.float32(1e-5 * (rep + 1)))
+        t0 = time.perf_counter()
+        st, outs = replay.replay_batch(batch_state, timed, cfg)
+        np.asarray(outs.pose_p)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[1]
 
     scans_per_sec = batch * n_scans / dt
     print(json.dumps({
@@ -76,6 +84,7 @@ def main(batch=16, n_scans=30, seed0=None):
         "value": round(scans_per_sec, 2),
         "unit": "scans/sec/chip",
         "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
+        "reps_scans_per_sec": [round(batch * n_scans / t, 2) for t in times],
     }))
 
 

@@ -113,12 +113,16 @@ class SolverConfig:
 
     window: int = 5                  # SLIDEWINDOWSIZE (Estimator.h:30)
     # outer relinearize/assoc rounds.  The reference runs 5 (:1210) with
-    # the member threshold schedule 25-10-1-1-1; rounds 4-5 re-associate
-    # at an unchanged threshold from already-converged poses and change
-    # nothing measurable (hall/corridor ATE identical at 3 vs 5), while
-    # each round costs a frame association + solve in the hot step — so
-    # the compiled schedule is 25-10-1.  Set 5 for the faithful schedule.
-    max_outer_iters: int = 3
+    # the member threshold schedule 25-10-1-1-1; rounds 3-5 re-associate
+    # at converged poses and change nothing measurable (hall / fast /
+    # corridor ATE within noise at 2 vs 3 vs 5 rounds, scripts/
+    # ab_outer2 A/B: 2 rounds 0.063/0.101 m vs 3 rounds 0.064/0.109 m),
+    # while each round costs a frame association + LM solve in the hot
+    # step — AND, because pre-init and post-init sequences share one
+    # batched program, a round's association executes for every batch
+    # lane regardless of mode (lax.cond under vmap runs both branches).
+    # The compiled schedule is 25-10.  Set 5 for the faithful schedule.
+    max_outer_iters: int = 2
     max_inner_iters: int = 10        # dogleg iterations per outer (:1428)
     # inner-iteration budget for outer rounds AFTER the first: those solves
     # start from an already-optimized window (only the association targets
@@ -159,11 +163,14 @@ class SolverConfig:
     # vLineFeatures cache, Estimator.cpp:160-170); under sustained motion
     # the stale targets lag the true pose, the window under-tracks, and the
     # accelerometer bias absorbs the discrepancy — a measured
-    # velocity-decay feedback loop.  Refreshing targets once at the
-    # post-solve poses breaks the loop; rounds beyond ~2 change targets
-    # negligibly (the pose moves < the map voxel size) but each costs a
-    # frame's stencil map gathers, the most expensive op in the step.
-    full_reassoc_rounds: int = 2
+    # velocity-decay feedback loop.  The moved-distance-priority OLD-slot
+    # refresh (refresh_old_frames below) re-associates any frame whose
+    # pose moved since its factors were built, which breaks the loop one
+    # scan later at no extra cost; the within-scan post-solve refresh
+    # measurably adds nothing on top of it (ab_reassoc A/B: ATE identical
+    # at 1 vs 2 refresh rounds, fast-motion scene slightly BETTER without
+    # the second) while costing a full frame association per round.
+    full_reassoc_rounds: int = 1
     # How many OLD window frames get their cached point factors rebuilt per
     # scan (rotating through slots 0..W-2).  The reference re-associates
     # every window frame every scan (Estimator.cpp:1262-1299); here old

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import lie
-from ..ops import linalg3, voxelmap
+from ..ops import linalg3, pallas_assoc, voxelmap
 
 
 class LineTargets(NamedTuple):
@@ -68,6 +68,53 @@ def _world_points(x6, p_l, Rbl, tbl):
 # --------------------------------------------------------------------------
 # association (builds fixed targets at the current pose, once per scan)
 # --------------------------------------------------------------------------
+
+def _kernel_ok(mcfg, m):
+    """Static check: the fused Pallas association kernel applies.
+
+    TPU backend only (the CPU/test path keeps the XLA gathers; the kernel
+    itself is verified against them in interpret mode by
+    tests/test_pallas_assoc.py), 32-cell superrows, 8-row stencil window,
+    point count a multiple of the kernel group.
+    """
+    import jax as _jax
+
+    if _jax.default_backend() == "cpu":
+        return False
+    nbx, nby, nbz = voxelmap._super_window(mcfg)
+    return (voxelmap._cpr(mcfg) == 32 and nbx * nby * nbz == 8
+            and m % pallas_assoc.GP == 0)
+
+
+def _kernel_fits(vm, pw, mask, mcfg, mode, knn):
+    """Fused-kernel replacement for _neighbor_moments + _line/_plane fit
+    math: returns (mu, vec, evals, t_k, n, planar) per point."""
+    mu, vec, ev, t_k, n, planar = pallas_assoc.assoc_batched(
+        vm.cells[None], pw[None], mask[None], mcfg, mode=mode, k=knn)
+    return mu[0], vec[0], ev[0], t_k[0], n[0], planar[0]
+
+
+def _line_from_kernel(pw, mask, vm, mcfg, thres_dist, k):
+    mu, u, ev, t_k, n, _ = _kernel_fits(vm, pw, mask, mcfg, 1, k)
+    have5 = (n >= k) & (t_k < thres_dist)
+    line_like = ev[:, 2] > 3.0 * ev[:, 1]
+    c = pw + mu
+    err0 = jnp.linalg.norm(jnp.cross(-mu, u), axis=-1)
+    valid = mask & have5 & line_like & (err0 > 1e-5)
+    return c, u, valid
+
+
+def _plane_from_kernel(pw, mask, vm, mcfg, thres_dist, k, cfg):
+    mu, omega, sev, t_k, n, planar = _kernel_fits(vm, pw, mask, mcfg, 0, k)
+    have5 = (n >= k) & (t_k < thres_dist)
+    ok = planar > 0.5
+    if cfg.solver.plane_scatter_ratio > 0:
+        ok = ok & (sev[:, 1] > cfg.solver.plane_scatter_ratio * sev[:, 2])
+    dist = -jnp.einsum("kj,kj->k", omega, mu)
+    proj = pw - dist[:, None] * omega
+    valid = mask & have5 & ok & (jnp.abs(dist) > 1e-5)
+    return proj, omega, valid
+
 
 def _neighbor_moments(vm, pw, mask, mcfg, knn):
     """k-nearest selection + first/second moments of (centroid - query).
@@ -136,12 +183,17 @@ def associate_lines(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
     """
     pw = _world_points(x6, p_l, Rbl, tbl)
     k = cfg.map.knn
-    t_k, n, s1, s2, _ = _neighbor_moments(vm, pw, mask, cfg.map, k)
-    c, u, valid = _line_fit(pw, mask, t_k, n, s1, s2, thres_dist, k)
+    M = pw.shape[0]
+
+    def one_map(vmi, mcfg):
+        if _kernel_ok(mcfg, M):
+            return _line_from_kernel(pw, mask, vmi, mcfg, thres_dist, k)
+        t_k, n, s1, s2, _ = _neighbor_moments(vmi, pw, mask, mcfg, k)
+        return _line_fit(pw, mask, t_k, n, s1, s2, thres_dist, k)
+
+    c, u, valid = one_map(vm, cfg.map)
     if vm_local is not None:
-        t2, n2, s12, s22, _ = _neighbor_moments(vm_local, pw, mask,
-                                                cfg.local_map, k)
-        c2, u2, valid2 = _line_fit(pw, mask, t2, n2, s12, s22, thres_dist, k)
+        c2, u2, valid2 = one_map(vm_local, cfg.local_map)
         use2 = (~valid & valid2)[:, None]
         c = jnp.where(use2, c2, c)
         u = jnp.where(use2, u2, u)
@@ -240,14 +292,18 @@ def associate_planes(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
     """
     pw = _world_points(x6, p_l, Rbl, tbl)
     k = cfg.map.knn
-    t_k, n, s1, s2, blk = _neighbor_moments(vm, pw, mask, cfg.map, k)
-    proj, omega, valid = _plane_fit(pw, mask, t_k, n, s1, s2, blk,
-                                    thres_dist, k, cfg)
+    M = pw.shape[0]
+
+    def one_map(vmi, mcfg):
+        if _kernel_ok(mcfg, M):
+            return _plane_from_kernel(pw, mask, vmi, mcfg, thres_dist, k,
+                                      cfg)
+        t_k, n, s1, s2, blk = _neighbor_moments(vmi, pw, mask, mcfg, k)
+        return _plane_fit(pw, mask, t_k, n, s1, s2, blk, thres_dist, k, cfg)
+
+    proj, omega, valid = one_map(vm, cfg.map)
     if vm_local is not None:
-        t2, n2, s12, s22, blk2 = _neighbor_moments(vm_local, pw, mask,
-                                                   cfg.local_map, k)
-        proj2, omega2, valid2 = _plane_fit(pw, mask, t2, n2, s12, s22, blk2,
-                                           thres_dist, k, cfg)
+        proj2, omega2, valid2 = one_map(vm_local, cfg.local_map)
         use2 = ~valid & valid2
         proj = jnp.where(use2[:, None], proj2, proj)
         omega = jnp.where(use2[:, None], omega2, omega)
@@ -357,6 +413,80 @@ def imu_residual(xi, xj, meas, gravity):
         meas["dv"] + J_v_bg @ dbg + J_v_ba @ dba)
     r = jnp.concatenate([rP, rPhi, rV, xj[9:15] - xi[9:15]])
     return meas["sqrt_info"] @ r
+
+
+def imu_residual_and_jac(xi, xj, meas, gravity):
+    """Preintegration residual AND its analytic (15, 30) Jacobian.
+
+    Replaces `jacfwd(imu_residual)` in the LM inner loop: forward-mode
+    autodiff pays ~30 residual evaluations per factor per iteration; the
+    closed forms below cost ~3.  Columns: [Pi, phii, Vi, bgi, bai,
+    Pj, phij, Vj, bgj, baj].  Derivatives are with respect to the GLOBAL
+    log-map coordinates the solver optimizes (plain additive phi), via
+    Exp(phi + d) = Exp(phi) Exp(Jr(phi) d) — the same quantity
+    `jacfwd` computes through `lie.exp_matrix` (asserted equal in
+    tests/test_solver.py::test_imu_analytic_jacobian).  The reference's
+    analytic variant is Cost_NavState_PRV_Bias::Evaluate
+    (ceresfunc.h:330-393); the bias-correction second-order terms it also
+    drops are dropped here identically.
+    """
+    dtype = xi.dtype
+    Pi, phii, Vi = xi[0:3], xi[3:6], xi[6:9]
+    Pj, phij, Vj = xj[0:3], xj[3:6], xj[6:9]
+    dbg = xi[9:12] - meas["bg"]
+    dba = xi[12:15] - meas["ba"]
+
+    Ri = lie.exp_matrix(phii)
+    Rj = lie.exp_matrix(phij)
+    RiT = Ri.T
+    dt = meas["dt"]
+    dt2 = dt * dt
+    jac = meas["jac"]
+    J_p_bg, J_p_ba = jac[0:3, 9:12], jac[0:3, 12:15]
+    J_r_bg = jac[3:6, 9:12]
+    J_v_bg, J_v_ba = jac[6:9, 9:12], jac[6:9, 12:15]
+
+    u_p = Pj - Pi - Vi * dt - 0.5 * gravity * dt2
+    rP = RiT @ u_p - (meas["dp"] + J_p_bg @ dbg + J_p_ba @ dba)
+    eps = J_r_bg @ dbg
+    dR_corr = lie.quat_mul(meas["dq"], lie.exp_quat(eps))
+    M = lie.quat_to_matrix(lie.quat_conj(dR_corr)) @ RiT @ Rj
+    rPhi = lie.log_matrix(M)
+    u_v = Vj - Vi - gravity * dt
+    rV = RiT @ u_v - (meas["dv"] + J_v_bg @ dbg + J_v_ba @ dba)
+    r_raw = jnp.concatenate([rP, rPhi, rV, xj[9:15] - xi[9:15]])
+
+    Jr_i = lie.right_jacobian(phii)
+    Jr_j = lie.right_jacobian(phij)
+    Jinv = lie.right_jacobian_inv(rPhi)
+    I3 = jnp.eye(3, dtype=dtype)
+    Z3 = jnp.zeros((3, 3), dtype)
+
+    J = jnp.zeros((15, 30), dtype)
+    # rP rows
+    J = J.at[0:3, 0:3].set(-RiT)
+    J = J.at[0:3, 3:6].set(lie.hat(RiT @ u_p) @ Jr_i)
+    J = J.at[0:3, 6:9].set(-RiT * dt)
+    J = J.at[0:3, 9:12].set(-J_p_bg)
+    J = J.at[0:3, 12:15].set(-J_p_ba)
+    J = J.at[0:3, 15:18].set(RiT)
+    # rPhi rows: M(phii + d) = M Exp(-(Rj^T Ri Jr_i) d),
+    # M(phij + d) = M Exp(Jr_j d), M(bgi + d) = Exp(-(Jr(eps) J_r_bg) d) M
+    J = J.at[3:6, 3:6].set(-Jinv @ Rj.T @ Ri @ Jr_i)
+    J = J.at[3:6, 18:21].set(Jinv @ Jr_j)
+    J = J.at[3:6, 9:12].set(-Jinv @ M.T @ lie.right_jacobian(eps) @ J_r_bg)
+    # rV rows
+    J = J.at[6:9, 3:6].set(lie.hat(RiT @ u_v) @ Jr_i)
+    J = J.at[6:9, 6:9].set(-RiT)
+    J = J.at[6:9, 9:12].set(-J_v_bg)
+    J = J.at[6:9, 12:15].set(-J_v_ba)
+    J = J.at[6:9, 21:24].set(RiT)
+    # bias random-walk rows
+    J = J.at[9:15, 9:15].set(-jnp.eye(6, dtype=dtype))
+    J = J.at[9:15, 24:30].set(jnp.eye(6, dtype=dtype))
+
+    S = meas["sqrt_info"]
+    return S @ r_raw, S @ J
 
 
 def prior_residual(x0_kept, prior):

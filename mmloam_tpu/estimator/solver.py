@@ -64,9 +64,9 @@ def _imu_blocks(x, preint, pair_valid, gravity):
     xi = jnp.concatenate([jnp.roll(x, 1, axis=0), x], axis=-1)     # (W,30)
 
     def one_pair(z, meas, ok):
-        r = factors.imu_residual(z[:15], z[15:], meas, gravity)
-        J = jax.jacfwd(lambda zz: factors.imu_residual(zz[:15], zz[15:], meas,
-                                                       gravity))(z)
+        # analytic Jacobian (factors.imu_residual_and_jac): ~3 residual
+        # costs instead of jacfwd's ~30, inside the LM while_loop
+        r, J = factors.imu_residual_and_jac(z[:15], z[15:], meas, gravity)
         m = ok.astype(z.dtype)
         r = r * m
         J = J * m
@@ -86,20 +86,55 @@ def _prior_block(x, prior: Prior):
 
 
 def _assemble(x, H6, b6, H30, b30, Hp, bp, frame_valid):
-    """Dense (W*15, W*15) H and (W*15,) b with invalid frames zeroed."""
+    """Dense (W*15, W*15) H and (W*15,) b with invalid frames zeroed.
+
+    Built as a static W x W grid of 15x15 blocks (block-tridiagonal:
+    point blocks on the diagonal, IMU pair quadrants on diag +
+    off-diagonals, prior on block (0,0)) via concatenation — the former
+    .at[].add sequence lowered to a chain of dynamic-update-slices
+    executed every LM iteration.
+    """
     W = x.shape[0]
-    n = W * 15
-    H = jnp.zeros((n, n), x.dtype)
-    b = jnp.zeros((n,), x.dtype)
-    for f in range(W):
-        H = H.at[f * 15:f * 15 + 6, f * 15:f * 15 + 6].add(H6[f])
-        b = b.at[f * 15:f * 15 + 6].add(b6[f])
-    for f in range(1, W):
-        H = H.at[(f - 1) * 15:(f + 1) * 15, (f - 1) * 15:(f + 1) * 15].add(H30[f])
-        b = b.at[(f - 1) * 15:(f + 1) * 15].add(b30[f])
-    H = H.at[0:15, 0:15].add(Hp)
-    b = b.at[0:15].add(bp)
-    fm = jnp.repeat(frame_valid.astype(x.dtype), 15)
+    dtype = x.dtype
+    Z = jnp.zeros((15, 15), dtype)
+    H6e = jnp.zeros((W, 15, 15), dtype).at[:, 0:6, 0:6].set(H6)
+    b6e = jnp.zeros((W, 15), dtype).at[:, 0:6].set(b6)
+
+    rows = []
+    for i in range(W):
+        blocks = []
+        for j in range(W):
+            if i == j:
+                blk = H6e[i]
+                if i >= 1:
+                    blk = blk + H30[i, 15:30, 15:30]
+                if i + 1 < W:
+                    blk = blk + H30[i + 1, 0:15, 0:15]
+                if i == 0:
+                    blk = blk + Hp
+            elif j == i + 1:
+                blk = H30[i + 1, 0:15, 15:30]
+            elif j == i - 1:
+                blk = H30[i, 15:30, 0:15]
+            else:
+                blk = Z
+            blocks.append(blk)
+        rows.append(jnp.concatenate(blocks, axis=1))
+    H = jnp.concatenate(rows, axis=0)
+
+    bs = []
+    for i in range(W):
+        blk = b6e[i]
+        if i >= 1:
+            blk = blk + b30[i, 15:30]
+        if i + 1 < W:
+            blk = blk + b30[i + 1, 0:15]
+        if i == 0:
+            blk = blk + bp
+        bs.append(blk)
+    b = jnp.concatenate(bs, axis=0)
+
+    fm = jnp.repeat(frame_valid.astype(dtype), 15)
     H = H * fm[:, None] * fm[None, :]
     b = b * fm
     return H, b
@@ -273,9 +308,7 @@ def marginalize(x, rf0, preint, prior, gravity, cfg):
     # IMU factor between frames 0 and 1 (no loss, ceresfunc.h nullptr)
     z = jnp.concatenate([x[0], x[1]])
     meas = {k: v[1] for k, v in preint.items()}
-    rI = factors.imu_residual(z[:15], z[15:], meas, gravity)
-    JI = jax.jacfwd(lambda zz: factors.imu_residual(zz[:15], zz[15:], meas,
-                                                    gravity))(z)
+    rI, JI = factors.imu_residual_and_jac(z[:15], z[15:], meas, gravity)
     A = A + JI.T @ JI
     b = b + JI.T @ rI
 

@@ -167,6 +167,28 @@ def right_jacobian(phi):
     return jnp.where(small[..., None, None], Jr_small, Jr)
 
 
+def right_jacobian_inv(phi):
+    """Inverse of the SO(3) right Jacobian, closed form.
+
+    Jr^-1(phi) = I + 1/2 hat(phi) + c hat(phi)^2 with
+    c = 1/theta^2 - (1 + cos theta) / (2 theta sin theta); Taylor
+    c = 1/12 + theta^2/720 + ... at small angles.  Valid for |phi| < pi
+    (the preintegration residual rotations it is used on are small).
+    """
+    theta = _safe_norm(phi)[..., None, None]
+    small = theta < 1e-4
+    K = hat(phi)
+    K2 = K @ K
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), K.shape)
+    sin_t = jnp.sin(theta)
+    c = jnp.where(
+        small, 1.0 / 12.0 + theta**2 / 720.0,
+        1.0 / jnp.maximum(theta**2, _EPS**2)
+        - (1.0 + jnp.cos(theta)) / jnp.maximum(2.0 * theta * sin_t,
+                                               _EPS**2))
+    return eye + 0.5 * K + c * K2
+
+
 def slerp_identity(q, s):
     """slerp(Identity, q, s) for s in [0,1].
 

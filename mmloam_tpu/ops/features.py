@@ -204,19 +204,34 @@ def extract_line_features(pts, intensity, n_valid, cfg):
     sp = scan_start + (scan_end - scan_start) * seg_ids // P
     ep = scan_start + (scan_end - scan_start) * (seg_ids + 1) // P  # exclusive
 
+    # one packed row gather per segment instead of seven scalar-field
+    # gathers: the per-point fields are packed into 12-wide rows once per
+    # line, so each segment fetches (S, 12) rows in a single pass (the
+    # seven separate gathers each re-walked the candidate index list and
+    # together were ~18% of the flagship step profile).  Lane slices unpack
+    # the fields after the gather; small ints and bools round-trip f32
+    # exactly.
+    packed = jnp.stack(
+        [curvature, dis, angle_flag.astype(dtype), reflect, flat_th_sq,
+         curv_half.astype(dtype)]
+        + [gap_ok_r[:, j].astype(dtype) for j in range(3)]
+        + [gap_ok_l[:, j].astype(dtype) for j in range(3)], axis=-1)
+
     def one_segment(s_start, s_end):
         pos = s_start + jnp.arange(S)
         in_seg = pos < s_end
         g = jnp.clip(pos, 0, N - 1)
-        c = jnp.where(in_seg, curvature[g], BIG)
+        rows = packed[g]                                       # (S, 12)
+        c = jnp.where(in_seg, rows[:, 0], BIG)
         order = jnp.argsort(c, stable=True)
         flags = _segment_pass(
-            order, c, jnp.where(in_seg, dis[g], 0.0),
-            jnp.where(in_seg, angle_flag[g], 0),
-            jnp.where(in_seg, reflect[g], -BIG),
-            jnp.where(in_seg, flat_th_sq[g], -1.0),
-            jnp.where(in_seg, curv_half[g], 0),
-            gap_ok_r[g] & in_seg[:, None], gap_ok_l[g] & in_seg[:, None],
+            order, c, jnp.where(in_seg, rows[:, 1], 0.0),
+            jnp.where(in_seg, rows[:, 2].astype(jnp.int32), 0),
+            jnp.where(in_seg, rows[:, 3], -BIG),
+            jnp.where(in_seg, rows[:, 4], -1.0),
+            jnp.where(in_seg, rows[:, 5].astype(jnp.int32), 0),
+            (rows[:, 6:9] > 0.5) & in_seg[:, None],
+            (rows[:, 9:12] > 0.5) & in_seg[:, None],
             f.th_num_flat)
         return jnp.where(in_seg, flags, 0), g
 

@@ -60,8 +60,11 @@ def principal_eigvec3(A, evals):
     M = (A - evals[..., 1, None, None] * eye) @ (A - evals[..., 0, None, None] * eye)
     norms = jnp.linalg.norm(M, axis=-2)             # column norms (..., 3)
     idx = jnp.argmax(norms, axis=-1)
-    v = jnp.take_along_axis(M, idx[..., None, None].astype(jnp.int32)
-                            .repeat(3, axis=-2), axis=-1)[..., 0]
+    # one-hot column select instead of take_along_axis: the latter lowers
+    # to per-element random gathers (the TPU scalar path); this stays in
+    # fused vector math
+    sel = (idx[..., None] == jnp.arange(3)).astype(A.dtype)   # (..., 3)
+    v = jnp.einsum("...ij,...j->...i", M, sel)
     n = jnp.linalg.norm(v, axis=-1, keepdims=True)
     fallback = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], A.dtype), v.shape)
     return jnp.where(n > 1e-9, v / jnp.maximum(n, 1e-9), fallback)
@@ -79,8 +82,11 @@ def smallest_eigvec3(A, evals):
     M = (A - evals[..., 1, None, None] * eye) @ (A - evals[..., 2, None, None] * eye)
     norms = jnp.linalg.norm(M, axis=-2)             # column norms (..., 3)
     idx = jnp.argmax(norms, axis=-1)
-    v = jnp.take_along_axis(M, idx[..., None, None].astype(jnp.int32)
-                            .repeat(3, axis=-2), axis=-1)[..., 0]
+    # one-hot column select instead of take_along_axis: the latter lowers
+    # to per-element random gathers (the TPU scalar path); this stays in
+    # fused vector math
+    sel = (idx[..., None] == jnp.arange(3)).astype(A.dtype)   # (..., 3)
+    v = jnp.einsum("...ij,...j->...i", M, sel)
     n = jnp.linalg.norm(v, axis=-1, keepdims=True)
     fallback = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], A.dtype), v.shape)
     return jnp.where(n > 1e-9, v / jnp.maximum(n, 1e-9), fallback)

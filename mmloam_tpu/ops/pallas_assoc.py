@@ -1,0 +1,324 @@
+"""Pallas TPU kernel: fused stencil k-NN association (gather + select + fit).
+
+Why this exists: at flagship shapes the XLA association pipeline
+(`voxelmap.query_candidates` -> `select_k_smallest` -> moment reductions ->
+`linalg3` fits) materializes ~300 MB of HBM intermediates per step — a
+(B, M, 8, 128) row gather, a layout-changing copy of it, five (B, M, 8, 32)
+candidate blocks feeding a 256-wide `top_k` sort, and the masked moment
+reductions — together the largest block of the step profile after the
+inserts were moved to Pallas.
+
+This kernel keeps the whole thing in VMEM: each grid step DMAs one point
+group's stencil superrows (8 rows x 512 B per point), computes candidate
+distances, performs the exact k-th-smallest threshold selection, reduces
+the selected candidates to first/second moments, runs the closed-form 3x3
+eigen-analysis (the `ops/linalg3.py` formulas), and writes 16 floats per
+point.  HBM traffic per point drops from ~64 KB of intermediates to
+4 KB of row reads + 64 B of output.
+
+Semantics are identical to the XLA path (asserted by
+tests/test_pallas_assoc.py):
+
+  * candidate validity: epoch-key match + count > 0 + fine-stencil bounds
+    (`voxelmap.query_candidates`, Map_Manager.cpp:125-286 eviction);
+  * selection: k-th smallest valid distance, ties all selected
+    (`voxelmap.select_k_smallest`);
+  * plane mode: total-LS normal = smallest eigenvector of the centered
+    scatter, planarity gate = every selected candidate within 0.2 m of the
+    plane (Estimator.cpp:617-696), scatter eigenvalues exported for the
+    rank gate;
+  * line mode: PCA direction = principal eigenvector of the covariance
+    (Estimator.cpp:189-277).
+
+Output per point (16 lanes):
+  [0:3]  mu        centroid - query (selected candidates)
+  [3:6]  vec       plane normal (mode=0) / line direction (mode=1)
+  [6:9]  evals     ascending eigenvalues (scatter for planes, cov for lines)
+  [9]    t_k       k-th smallest sq-distance (inf if < k candidates)
+  [10]   n         number of selected candidates
+  [11]   planar    1.0 if every selected candidate within 0.2 m (plane mode)
+  [12:16] pad
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import voxelmap
+
+_META_MOD = voxelmap._META_MOD
+GP = 128            # points per grid step
+_EPS = 1e-12
+
+
+def prepare_queries(pw, mask, cfg):
+    """Per-point stencil addressing, computed once in XLA.
+
+    pw: (M, 3) world-frame query points, mask: (M,).  Returns
+    (slot (M, 8) int32, meta_q (M, 8, 8) f32) where meta_q packs per row
+    [base(3), ov(3), key(1), pad] — the world-frame row origin relative to
+    the query, the row origin's fine-voxel offset from the query voxel
+    (for the exact-stencil bounds), and the expected epoch key (-1 for
+    masked points, matching no stored key).
+    """
+    px, py, pz = voxelmap._pack(cfg)
+    nbx, nby, nbz = voxelmap._super_window(cfg)
+    assert nbx * nby * nbz == 8, "kernel assumes the 8-superrow window"
+    assert voxelmap._cpr(cfg) == 32, "kernel assumes 32 cells per row"
+    dtype = pw.dtype
+
+    v = voxelmap._voxel_coords(pw, cfg)                       # (M,3)
+    sx0 = (v[:, 0] - cfg.stencil_x) // px
+    sy0 = (v[:, 1] - cfg.stencil_y) // py
+    sz0 = (v[:, 2] - cfg.stencil_z) // pz
+    ox, oy, oz = jnp.meshgrid(jnp.arange(nbx), jnp.arange(nby),
+                              jnp.arange(nbz), indexing="ij")
+    sv = jnp.stack([sx0[:, None] + ox.ravel()[None, :],
+                    sy0[:, None] + oy.ravel()[None, :],
+                    sz0[:, None] + oz.ravel()[None, :]], axis=-1)  # (M,8,3)
+    slot, key = voxelmap._super_decompose(sv, cfg)            # (M,8)
+    packs = jnp.array([px, py, pz], jnp.int32)
+    base = (sv * packs).astype(dtype) * cfg.voxel_size - pw[:, None, :]
+    ov = (sv * packs - v[:, None, :]).astype(dtype)           # (M,8,3)
+    keyq = jnp.where(mask[:, None], key, -1.0).astype(dtype)  # (M,8)
+    meta_q = jnp.concatenate(
+        [base, ov, keyq[:, :, None], jnp.zeros_like(keyq)[:, :, None]],
+        axis=-1)                                              # (M,8,8)
+    return slot.astype(jnp.int32), meta_q
+
+
+def _eigvalsh3_lanes(a00, a01, a02, a11, a12, a22):
+    """Closed-form ascending eigenvalues of symmetric 3x3, lane math.
+
+    Port of linalg3.eigvalsh3 operating on (...,) component arrays.
+    """
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = (b00 * b00 + b11 * b11 + b22 * b22
+          + 2.0 * (a01 * a01 + a02 * a02 + a12 * a12))
+    p = jnp.sqrt(jnp.maximum(p2, 0.0) / 6.0)
+    pin = 1.0 / jnp.maximum(p, 1e-20)
+    # det(B)/2 with B = (A - qI)
+    detb = (b00 * (b11 * b22 - a12 * a12)
+            - a01 * (a01 * b22 - a12 * a02)
+            + a02 * (a01 * a12 - b11 * a02))
+    r = jnp.clip(detb * 0.5 * pin * pin * pin, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e_hi = q + 2.0 * p * jnp.cos(phi)
+    e_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e_mid = 3.0 * q - e_hi - e_lo
+    diag = p2 < _EPS
+    return (jnp.where(diag, q, e_lo), jnp.where(diag, q, e_mid),
+            jnp.where(diag, q, e_hi))
+
+
+def _eigvec_lanes(a00, a01, a02, a11, a12, a22, l_a, l_b, fallback):
+    """Unit eigenvector via Cayley-Hamilton: columns of (A-l_a I)(A-l_b I)
+    span the remaining eigenspace; largest column picked branchlessly."""
+    m = [[a00 - l_a, a01, a02], [a01, a11 - l_a, a12], [a02, a12, a22 - l_a]]
+    n_ = [[a00 - l_b, a01, a02], [a01, a11 - l_b, a12], [a02, a12, a22 - l_b]]
+    c = [[m[i][0] * n_[0][j] + m[i][1] * n_[1][j] + m[i][2] * n_[2][j]
+          for j in range(3)] for i in range(3)]
+    norms = [c[0][j] * c[0][j] + c[1][j] * c[1][j] + c[2][j] * c[2][j]
+             for j in range(3)]
+    best01 = norms[0] >= norms[1]
+    n01 = jnp.where(best01, norms[0], norms[1])
+    use2 = norms[2] > n01
+    vx = jnp.where(use2, c[0][2], jnp.where(best01, c[0][0], c[0][1]))
+    vy = jnp.where(use2, c[1][2], jnp.where(best01, c[1][0], c[1][1]))
+    vz = jnp.where(use2, c[2][2], jnp.where(best01, c[2][0], c[2][1]))
+    nv = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    ok = nv > 1e-9
+    inv = 1.0 / jnp.maximum(nv, 1e-9)
+    return (jnp.where(ok, vx * inv, fallback[0]),
+            jnp.where(ok, vy * inv, fallback[1]),
+            jnp.where(ok, vz * inv, fallback[2]))
+
+
+def _assoc_kernel(slot_ref, meta_ref, cells_ref, out_ref, scratch, sems, *,
+                  k, mode, packs, voxel, stencil):
+    """One grid step: fetch GP points' stencil rows, select, fit.
+
+    slot_ref: (1, GP, 8) SMEM int32; meta_ref: (1, GP, 8, 8) VMEM;
+    cells_ref: (B, Cs, 128) ANY; out_ref: (1, GP, 16) VMEM;
+    scratch: (GP * 8, 128) VMEM; sems: (GP * 8,) DMA semaphores.
+    """
+    b = pl.program_id(0)
+    # sub-cell offset lanes from the lane index (Pallas kernels cannot
+    # capture array constants; iota arithmetic reproduces the static
+    # (pack_x, pack_y, pack_z) raveling, z minor)
+    px, py, pz = packs
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 32), 2)
+    scz = (lane % pz).astype(jnp.float32)          # cells
+    scy = ((lane // pz) % py).astype(jnp.float32)
+    scx = (lane // (py * pz)).astype(jnp.float32)
+    smx, smy, smz = scx * voxel, scy * voxel, scz * voxel   # meters
+    stx, sty, stz = stencil
+
+    # ---- fetch: one 512-B row DMA per (point, stencil row) ----
+    def issue(i, _):
+        row = slot_ref[0, i // 8, i % 8]
+        pltpu.make_async_copy(cells_ref.at[b, row], scratch.at[i],
+                              sems.at[i]).start()
+        return 0
+
+    jax.lax.fori_loop(0, GP * 8, issue, 0)
+
+    def wait(i, _):
+        row = slot_ref[0, i // 8, i % 8]
+        pltpu.make_async_copy(cells_ref.at[b, row], scratch.at[i],
+                              sems.at[i]).wait()
+        return 0
+
+    jax.lax.fori_loop(0, GP * 8, wait, 0)
+
+    rows = scratch[:].reshape(GP, 8, 128)
+    sx = rows[:, :, 0:32]
+    sy = rows[:, :, 32:64]
+    sz = rows[:, :, 64:96]
+    meta = rows[:, :, 96:128]
+
+    mq = meta_ref[0]                                    # (GP, 8, 8)
+    base_x = mq[:, :, 0:1]
+    base_y = mq[:, :, 1:2]
+    base_z = mq[:, :, 2:3]
+    ov_x = mq[:, :, 3:4]
+    ov_y = mq[:, :, 4:5]
+    ov_z = mq[:, :, 5:6]
+    keyq = mq[:, :, 6:7]
+
+    key_st = jnp.floor(meta * (1.0 / _META_MOD))
+    cnt = meta - key_st * _META_MOD
+    okf = ((key_st == keyq) & (cnt > 0.0)).astype(jnp.float32)
+    # exact fine-stencil bounds per cell (cell units)
+    okf = okf * (jnp.abs(ov_x + scx) <= stx)
+    okf = okf * (jnp.abs(ov_y + scy) <= sty)
+    okf = okf * (jnp.abs(ov_z + scz) <= stz)
+
+    inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
+    dx = base_x + smx + sx * inv_cnt
+    dy = base_y + smy + sy * inv_cnt
+    dz = base_z + smz + sz * inv_cnt
+    d2 = dx * dx + dy * dy + dz * dz
+    big = jnp.float32(3.0e38)
+    d2m = jnp.where(okf > 0.0, d2, big)
+
+    # ---- exact k-th-smallest threshold (ties all selected) ----
+    t = jnp.full((GP, 1, 1), big)
+    nsel = jnp.zeros((GP, 1, 1), jnp.float32)
+    done = jnp.zeros((GP, 1, 1), jnp.float32)
+    cur = d2m
+    for _ in range(k):
+        m = jnp.min(cur, axis=(1, 2), keepdims=True)        # (GP,1,1)
+        c = jnp.sum((cur <= m).astype(jnp.float32), axis=(1, 2),
+                    keepdims=True)
+        fin = (m < big).astype(jnp.float32)
+        take = (1.0 - done) * fin
+        t = jnp.where(take > 0.0, m, t)
+        nsel = nsel + take * c
+        done = jnp.maximum(done, (nsel >= k).astype(jnp.float32))
+        done = jnp.maximum(done, 1.0 - fin)
+        cur = jnp.where(cur <= m, big, cur)
+
+    w = ((okf > 0.0) & (d2 <= t)).astype(jnp.float32)       # (GP,8,32)
+    n = jnp.sum(w, axis=(1, 2))                             # (GP,)
+    nf = jnp.maximum(n, 1.0)
+
+    # ---- moments of selected candidates ----
+    s1x = jnp.sum(dx * w, axis=(1, 2))
+    s1y = jnp.sum(dy * w, axis=(1, 2))
+    s1z = jnp.sum(dz * w, axis=(1, 2))
+    sxx = jnp.sum(dx * dx * w, axis=(1, 2))
+    syy = jnp.sum(dy * dy * w, axis=(1, 2))
+    szz = jnp.sum(dz * dz * w, axis=(1, 2))
+    sxy = jnp.sum(dx * dy * w, axis=(1, 2))
+    sxz = jnp.sum(dx * dz * w, axis=(1, 2))
+    syz = jnp.sum(dy * dz * w, axis=(1, 2))
+    mux, muy, muz = s1x / nf, s1y / nf, s1z / nf
+
+    if mode == 0:
+        # centered SCATTER (plane): S = s2 - n mu mu^T
+        a00 = sxx - nf * mux * mux
+        a11 = syy - nf * muy * muy
+        a22 = szz - nf * muz * muz
+        a01 = sxy - nf * mux * muy
+        a02 = sxz - nf * mux * muz
+        a12 = syz - nf * muy * muz
+        e_lo, e_mid, e_hi = _eigvalsh3_lanes(a00, a01, a02, a11, a12, a22)
+        vx, vy, vz = _eigvec_lanes(a00, a01, a02, a11, a12, a22,
+                                   e_mid, e_hi, (0.0, 0.0, 1.0))
+        # planarity: every selected candidate within 0.2 m of the plane
+        dev = ((dx - mux[:, None, None]) * vx[:, None, None]
+               + (dy - muy[:, None, None]) * vy[:, None, None]
+               + (dz - muz[:, None, None]) * vz[:, None, None])
+        bad = jnp.sum(((w > 0.0) & (jnp.abs(dev) > 0.2))
+                      .astype(jnp.float32), axis=(1, 2))
+        planar = (bad == 0.0).astype(jnp.float32)
+    else:
+        # COVARIANCE (line): C = s2/n - mu mu^T
+        a00 = sxx / nf - mux * mux
+        a11 = syy / nf - muy * muy
+        a22 = szz / nf - muz * muz
+        a01 = sxy / nf - mux * muy
+        a02 = sxz / nf - mux * muz
+        a12 = syz / nf - muy * muz
+        e_lo, e_mid, e_hi = _eigvalsh3_lanes(a00, a01, a02, a11, a12, a22)
+        vx, vy, vz = _eigvec_lanes(a00, a01, a02, a11, a12, a22,
+                                   e_mid, e_lo, (1.0, 0.0, 0.0))
+        planar = jnp.zeros_like(n)
+
+    t_out = jnp.where(t[:, 0, 0] >= big, jnp.float32(jnp.inf), t[:, 0, 0])
+    out = jnp.stack([mux, muy, muz, vx, vy, vz, e_lo, e_mid, e_hi,
+                     t_out, n, planar,
+                     jnp.zeros_like(n), jnp.zeros_like(n),
+                     jnp.zeros_like(n), jnp.zeros_like(n)], axis=-1)
+    out_ref[0] = out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mode", "k", "interpret"))
+def assoc_batched(cells, pw, mask, cfg, mode, k=5, interpret=False):
+    """Batched fused association: cells (B, Cs, 128), pw (B, M, 3),
+    mask (B, M).  mode 0 = plane (surf maps), 1 = line (corner maps).
+
+    Returns (mu (B,M,3), vec (B,M,3), evals (B,M,3), t_k (B,M), n (B,M),
+    planar (B,M) f32) — exactly the quantities `factors._plane_fit` /
+    `_line_fit` derive from `voxelmap.query_candidates` +
+    `select_k_smallest` + the moment reductions.
+    """
+    B, M = pw.shape[:2]
+    assert M % GP == 0, (M, GP)
+    slot, meta_q = jax.vmap(lambda p, m: prepare_queries(p, m, cfg))(pw, mask)
+    dtype = jnp.float32
+    stencil = (float(cfg.stencil_x), float(cfg.stencil_y),
+               float(cfg.stencil_z))
+
+    kern = functools.partial(
+        _assoc_kernel, k=k, mode=mode, packs=voxelmap._pack(cfg),
+        voxel=float(cfg.voxel_size), stencil=stencil)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, M, 16), dtype),
+        grid=(B, M // GP),
+        in_specs=[
+            pl.BlockSpec((1, GP, 8), lambda b, g: (b, g, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, GP, 8, 8), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, GP, 16), lambda b, g: (b, g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((GP * 8, 128), dtype),
+                        pltpu.SemaphoreType.DMA((GP * 8,))],
+        interpret=interpret,
+    )(slot, meta_q, cells)
+    mu = out[..., 0:3]
+    vec = out[..., 3:6]
+    evals = out[..., 6:9]
+    return mu, vec, evals, out[..., 9], out[..., 10], out[..., 11]

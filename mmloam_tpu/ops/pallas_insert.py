@@ -86,18 +86,16 @@ def aggregate_updates(pts, mask, cfg):
         s_pos = jax.lax.cummax(jnp.where(start, iota, -1))
         seg_sum_at_end = cum - jnp.where(
             (s_pos > 0)[:, None], cum[jnp.maximum(s_pos - 1, 0)], 0.0)
-        # compact segment sums to the leading positions (u-th unique row)
-        # via a second argsort (gathers only — a scatter here would
-        # reintroduce the serialized-scatter cost this module removes)
+        # no compaction: the RMW kernel's group loop visits every entry
+        # slot regardless (invalid entries skip their DMAs via pl.when),
+        # so compacting valids to the front via a second argsort bought
+        # nothing — segment-end entries simply stay in place
         end_ok = is_end & m_s
-        order2 = jnp.argsort(jnp.where(end_ok, iota, N + iota))
-        n_rows = jnp.sum(end_ok.astype(jnp.int32))
-        row_valid = iota < n_rows
-        vf = row_valid.astype(dtype)
-        row_upd = seg_sum_at_end[order2] * vf[:, None]
-        row_slot = jnp.where(row_valid, slot_s[order2], 0)
-        row_key = jnp.where(row_valid, key_s[order2], 0.0)
-        return row_slot, row_key, row_upd, row_valid
+        vf = end_ok.astype(dtype)
+        row_upd = seg_sum_at_end * vf[:, None]
+        row_slot = jnp.where(end_ok, slot_s, 0)
+        row_key = jnp.where(end_ok, key_s, 0.0)
+        return row_slot, row_key, row_upd, end_ok
 
     return jax.vmap(one)(pts, mask)
 

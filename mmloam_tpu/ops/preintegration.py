@@ -128,25 +128,41 @@ def preintegrate(acc, gyr, dt, mask, bg, ba, imu_cfg) -> PreintResult:
     B = jnp.concatenate(
         [jnp.concatenate(row, axis=2) for row in b_rows], axis=1)
 
-    # (3) jac = A_{M-1} @ ... @ A_0: prefix combos with combine(x,y) = y @ x
-    def apply_then(x, y):
-        return jnp.einsum("...ij,...jk->...ik", y, x)
-
-    jac = jax.lax.associative_scan(apply_then, A)[-1]
-
-    # (4) cov = sum_k G_k (B_k N B_k^T) G_k^T, G_k = A_{M-1}...A_{k+1}
-    if M > 1:
-        # p_j = A_{M-1} @ ... @ A_{M-1-j}; G_k = p_{M-2-k}, G_{M-1} = I
-        rev_pref = jax.lax.associative_scan(
-            lambda x, y: jnp.einsum("...ij,...jk->...ik", x, y), A[::-1])
-        G = jnp.concatenate(
-            [rev_pref[M - 2::-1], jnp.eye(15, dtype=dtype)[None]], axis=0)
-    else:
-        G = jnp.broadcast_to(jnp.eye(15, dtype=dtype), (1, 15, 15))
+    # (3)+(4) jac and cov jointly, as ONE tree reduction over the affine
+    # error-propagation monoid: element k is (A_k, Q_k = B_k N B_k^T) with
+    #     combine((J1,C1),(J2,C2)) = (J2 J1,  J2 C1 J2^T + C2)
+    # (left = earlier steps).  The reduced pair is exactly
+    # (A_{M-1}...A_0, sum_k G_k Q_k G_k^T) — what the sequential recursion
+    # C_k = A_k C_{k-1} A_k^T + Q_k produces.  A tree reduction does ~3M
+    # batched 15x15 matmuls in log2(M) levels, vs the two associative_scans
+    # this replaces (~4M matmuls for ALL prefixes/suffixes that were thrown
+    # away, plus a materialized (M,15,15) suffix-product block and the
+    # scan-internal pad/slice traffic that showed up as ~6% of the flagship
+    # step profile).  Identity elements (J=I, C=0) pad M to a power of two,
+    # so masked samples (A=I, B=0) and ragged windows are exact no-ops.
     BN = jnp.einsum("kij,jl->kil", B, noise)
-    Q = jnp.einsum("kij,klj->kil", BN, B)
-    GQ = jnp.einsum("kij,kjl->kil", G, Q)
-    cov = jnp.einsum("kij,klj->il", GQ, G)
+    J = A
+    C = jnp.einsum("kij,klj->kil", BN, B)
+    n = M
+    while n > 1:
+        if n % 2:
+            J = jnp.concatenate(
+                [J, jnp.eye(15, dtype=dtype)[None]], axis=0)
+            C = jnp.concatenate([C, jnp.zeros((1, 15, 15), dtype)], axis=0)
+            n += 1
+        # pair via reshape, not strided slices: under the pipeline's
+        # nested vmaps (batch x keyframes x tree) the strided-slice-fed
+        # batched dot hit an XLA:CPU simplifier verifier bug (batch dims
+        # transposed after simplification); the reshape form does not
+        Jp = J.reshape((n // 2, 2) + J.shape[1:])
+        Cp = C.reshape((n // 2, 2) + C.shape[1:])
+        J1, J2 = Jp[:, 0], Jp[:, 1]
+        C1, C2 = Cp[:, 0], Cp[:, 1]
+        J = jnp.einsum("...ij,...jk->...ik", J2, J1)
+        C = jnp.einsum("...ij,...jk,...lk->...il", J2, C1, J2) + C2
+        n //= 2
+    jac = J[0]
+    cov = C[0]
 
     dtime = jnp.sum(dt_m).astype(dtype)
     return PreintResult(lie.quat_normalize(dq), dp, dv, cov, jac, dtime,

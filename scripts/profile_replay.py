@@ -130,8 +130,59 @@ def main(batch=8, n_scans=8, flagship=False):
     for k, v in sorted(by_name.items(), key=lambda kv: -kv[1])[:25]:
         print(f"{v/1e3:9.2f} ms  {k[:100]}")
 
+    # per-stage breakdown artifact (VERDICT round-1 item 1): attribute
+    # device time to pipeline stages by source file, write JSON next to
+    # the bench outputs so the breakdown is checked in with each round
+    stage_of = {
+        "ops/features.py": "feature_extraction",
+        "ops/voxelmap.py": "map_query_assoc",
+        "ops/pallas_assoc.py": "map_query_assoc",
+        "ops/pallas_insert.py": "map_insert",
+        "ops/preintegration.py": "imu_preintegration",
+        "ops/downsample.py": "stack_downsample",
+        "ops/linalg3.py": "fit_eigensolvers",
+        "estimator/solver.py": "lm_solver",
+        "estimator/factors.py": "factor_eval",
+        "estimator/reduced.py": "factor_eval",
+        "estimator/estimate.py": "estimate_glue",
+        "estimator/initializer.py": "initializer",
+        "mmloam_tpu/pipeline.py": "pipeline_glue",
+        "mmloam_tpu/replay.py": "replay_glue",
+        "ops/undistort.py": "undistortion",
+    }
+    stages = defaultdict(float)
+    dev_total = 0.0
+    for k, v in by_src.items():
+        if not k.startswith("/") and "mmloam" not in k:
+            continue
+        dev_total += v
+        for frag, st_name in stage_of.items():
+            if frag in k:
+                stages[st_name] += v
+                break
+        else:
+            stages["other"] += v
+    if "--json" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--json") + 1]
+        art = {
+            "wall_ms": round(dt * 1e3, 1),
+            "scans_per_sec": round(batch * n_scans / dt, 2),
+            "batch": batch, "n_scans": n_scans,
+            "flagship": flagship,
+            "stage_ms": {k: round(v / 1e3, 2) for k, v in
+                         sorted(stages.items(), key=lambda kv: -kv[1])},
+            "attributed_ms": round(dev_total / 1e3, 2),
+        }
+        with open(out_path, "w") as f:
+            json.dump(art, f, indent=1)
+        print(f"\nwrote {out_path}")
+
 
 if __name__ == "__main__":
     flagship = "--flagship" in sys.argv
-    args = [int(a) for a in sys.argv[1:3] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    if "--json" in argv:
+        j = argv.index("--json")
+        argv = argv[:j] + argv[j + 2:]
+    args = [int(a) for a in argv if not a.startswith("--")][:2]
     main(*args, flagship=flagship)

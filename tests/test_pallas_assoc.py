@@ -1,0 +1,176 @@
+"""Fused Pallas association kernel == the XLA association path.
+
+Runs the kernel in interpret mode (CPU) against maps built by
+voxelmap.insert from ray-cast scans, and asserts the kernel's per-point
+selection (t_k, n), moments (mu), fits (normal / direction, eigenvalues)
+and gates (planarity) match what `voxelmap.query_candidates` +
+`select_k_smallest` + `factors._plane_fit`/`_line_fit` produce.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmloam_tpu.config import tiny_config
+from mmloam_tpu.data import synthetic
+from mmloam_tpu.ops import pallas_assoc, voxelmap as vx
+
+
+def _build(seed=0, n_scans=4):
+    cfg = tiny_config()
+    rng = np.random.default_rng(seed)
+    world = synthetic.default_world()
+    vm = vx.empty_map(cfg.map)
+    az = np.linspace(-np.pi, np.pi, 720, endpoint=False)
+    elevs = np.deg2rad([-15.0, -5.0, 5.0, 15.0])
+    A, E = np.meshgrid(az, elevs)
+    dirs = np.stack([np.cos(E) * np.cos(A), np.cos(E) * np.sin(A),
+                     np.sin(E)], -1).reshape(-1, 3)
+    for i in range(n_scans):
+        o = np.array([0.4 * i, 0.2 * i, 0.1 * np.sin(i)])
+        r = world.raycast(o, dirs)
+        ok = np.isfinite(r)
+        r = r + rng.normal(scale=0.004, size=r.shape)
+        pts = o + dirs * np.where(ok, r, 0.0)[:, None]
+        vm = vx.insert(vm, jnp.asarray(pts, jnp.float32), jnp.asarray(ok),
+                       cfg.map)
+    return cfg, vm, world, rng
+
+
+def _queries(world, rng, M=256, origin=(0.9, 0.5, 0.05)):
+    az = rng.uniform(-np.pi, np.pi, M)
+    el = rng.uniform(-0.3, 0.3, M)
+    dirs = np.stack([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az),
+                     np.sin(el)], -1)
+    o = np.asarray(origin)
+    r = world.raycast(o, dirs)
+    ok = np.isfinite(r)
+    pw = o + dirs * np.where(ok, r, 0.0)[:, None]
+    # a few poisoned + masked entries
+    ok[:3] = False
+    pw[1] = np.nan
+    return jnp.asarray(pw, jnp.float32), jnp.asarray(ok)
+
+
+def _xla_reference(vm, pw, mask, cfg, k):
+    dx, dy, dz, d2, ok = vx.query_candidates(vm, pw, mask, cfg.map)
+    t_k, n, w = vx.select_k_smallest(d2, ok, k)
+    wf = w.astype(jnp.float32)
+    red = lambda a: jnp.sum(a * wf, axis=(1, 2))
+    s1 = jnp.stack([red(dx), red(dy), red(dz)], axis=-1)
+    s2 = jnp.stack([red(dx * dx), red(dx * dy), red(dx * dz),
+                    red(dy * dy), red(dy * dz), red(dz * dz)], axis=-1)
+    return t_k, n, s1, s2, (dx, dy, dz, w)
+
+
+def test_plane_mode_matches_xla():
+    cfg, vm, world, rng = _build()
+    pw, mask = _queries(world, rng)
+    k = cfg.map.knn
+
+    mu, vec, ev, t_k, n, planar = pallas_assoc.assoc_batched(
+        vm.cells[None], pw[None], mask[None], cfg.map, mode=0, k=k,
+        interpret=True)
+    mu, vec, ev = mu[0], vec[0], ev[0]
+    t_k, n, planar = t_k[0], n[0], planar[0]
+
+    t_r, n_r, s1_r, s2_r, blk = _xla_reference(vm, pw, mask, cfg, k)
+    t_r, n_r = np.asarray(t_r), np.asarray(n_r)
+    have = (n_r >= k) & (t_r < 1.0) & np.asarray(mask)
+    assert have.sum() > 50, have.sum()
+
+    # selection identical
+    np.testing.assert_array_equal(np.asarray(n)[have], n_r[have])
+    np.testing.assert_allclose(np.asarray(t_k)[have], t_r[have],
+                               rtol=1e-5, atol=1e-7)
+    # moments identical
+    nf = np.maximum(n_r, 1.0)
+    mu_r = np.asarray(s1_r) / nf[:, None]
+    np.testing.assert_allclose(np.asarray(mu)[have], mu_r[have],
+                               rtol=1e-4, atol=1e-5)
+
+    # plane fit: normal matches the XLA centered-scatter smallest
+    # eigenvector up to sign; eigenvalues match
+    from mmloam_tpu.ops import linalg3
+    s2m = np.asarray(s2_r)
+    S = np.zeros((len(nf), 3, 3), np.float32)
+    S[:, 0, 0], S[:, 0, 1], S[:, 0, 2] = s2m[:, 0], s2m[:, 1], s2m[:, 2]
+    S[:, 1, 0], S[:, 1, 1], S[:, 1, 2] = s2m[:, 1], s2m[:, 3], s2m[:, 4]
+    S[:, 2, 0], S[:, 2, 1], S[:, 2, 2] = s2m[:, 2], s2m[:, 4], s2m[:, 5]
+    scov = S - nf[:, None, None] * mu_r[:, :, None] * mu_r[:, None, :]
+    ev_r = np.asarray(linalg3.eigvalsh3(jnp.asarray(scov)))
+    om_r = np.asarray(linalg3.smallest_eigvec3(jnp.asarray(scov),
+                                               jnp.asarray(ev_r)))
+    np.testing.assert_allclose(np.asarray(ev)[have], ev_r[have],
+                               rtol=1e-3, atol=1e-4)
+    # eigenvector direction is only well-conditioned when lo/mid separate;
+    # ill-separated fits are rejected by the downstream gates regardless
+    cond = have & ((ev_r[:, 1] - ev_r[:, 0]) > 0.1 * ev_r[:, 2])
+    assert cond.sum() > 40, cond.sum()
+    dots = np.abs(np.sum(np.asarray(vec)[cond] * om_r[cond], axis=-1))
+    assert (dots > 0.999).all(), dots.min()
+
+    # planarity gate identical where fits agree
+    dx, dy, dz, w = blk
+    dev = ((np.asarray(dx) - mu_r[:, 0, None, None]) * om_r[:, 0, None, None]
+           + (np.asarray(dy) - mu_r[:, 1, None, None]) * om_r[:, 1, None, None]
+           + (np.asarray(dz) - mu_r[:, 2, None, None]) * om_r[:, 2, None, None])
+    planar_r = np.all(np.where(np.asarray(w), np.abs(dev) <= 0.2, True),
+                      axis=(1, 2))
+    agree = (np.asarray(planar)[cond] > 0.5) == planar_r[cond]
+    assert agree.mean() > 0.98, agree.mean()
+
+
+def test_line_mode_matches_xla():
+    cfg, vm, world, rng = _build(seed=5)
+    pw, mask = _queries(world, rng, origin=(0.3, -0.4, 0.0))
+    k = cfg.map.knn
+
+    mu, vec, ev, t_k, n, _ = pallas_assoc.assoc_batched(
+        vm.cells[None], pw[None], mask[None], cfg.map, mode=1, k=k,
+        interpret=True)
+    mu, vec, ev, t_k, n = mu[0], vec[0], ev[0], t_k[0], n[0]
+
+    t_r, n_r, s1_r, s2_r, _ = _xla_reference(vm, pw, mask, cfg, k)
+    t_r, n_r = np.asarray(t_r), np.asarray(n_r)
+    have = (n_r >= k) & (t_r < 1.0) & np.asarray(mask)
+    assert have.sum() > 50
+
+    np.testing.assert_array_equal(np.asarray(n)[have], n_r[have])
+    nf = np.maximum(n_r, 1.0)
+    mu_r = np.asarray(s1_r) / nf[:, None]
+
+    from mmloam_tpu.ops import linalg3
+    s2m = np.asarray(s2_r)
+    S = np.zeros((len(nf), 3, 3), np.float32)
+    S[:, 0, 0], S[:, 0, 1], S[:, 0, 2] = s2m[:, 0], s2m[:, 1], s2m[:, 2]
+    S[:, 1, 0], S[:, 1, 1], S[:, 1, 2] = s2m[:, 1], s2m[:, 3], s2m[:, 4]
+    S[:, 2, 0], S[:, 2, 1], S[:, 2, 2] = s2m[:, 2], s2m[:, 4], s2m[:, 5]
+    cov = S / nf[:, None, None] - mu_r[:, :, None] * mu_r[:, None, :]
+    ev_r = np.asarray(linalg3.eigvalsh3(jnp.asarray(cov)))
+    line_like = ev_r[:, 2] > 3.0 * ev_r[:, 1]
+    u_r = np.asarray(linalg3.principal_eigvec3(jnp.asarray(cov),
+                                               jnp.asarray(ev_r)))
+    sel = have & line_like
+    if sel.sum():
+        dots = np.abs(np.sum(np.asarray(vec)[sel] * u_r[sel], axis=-1))
+        assert (dots > 0.999).mean() > 0.95, dots.min()
+    np.testing.assert_allclose(np.asarray(ev)[have], ev_r[have],
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_masked_and_empty_map():
+    cfg, vm, world, rng = _build()
+    pw, mask = _queries(world, rng, M=128)
+    empty = vx.empty_map(cfg.map)
+    mu, vec, ev, t_k, n, planar = pallas_assoc.assoc_batched(
+        empty.cells[None], pw[None], mask[None], cfg.map, mode=0,
+        interpret=True)
+    assert np.isinf(np.asarray(t_k)).all()
+    assert (np.asarray(n) == 0).all()
+    # masked points find nothing even on a populated map
+    none = jnp.zeros_like(mask)
+    _, _, _, t2, n2, _ = pallas_assoc.assoc_batched(
+        vm.cells[None], pw[None], none[None], cfg.map, mode=0,
+        interpret=True)
+    assert np.isinf(np.asarray(t2)).all() and (np.asarray(n2) == 0).all()

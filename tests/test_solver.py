@@ -310,3 +310,37 @@ def test_velocity_recovery():
     x = np.asarray(res.x)
     np.testing.assert_allclose(x[:, 6], vtrue, atol=1e-2)
     np.testing.assert_allclose(x[:, 0], P_true[:, 0], atol=1e-3)
+
+
+def test_imu_analytic_jacobian():
+    """factors.imu_residual_and_jac == jacfwd(imu_residual) to f64
+    machine precision on random states/measurements."""
+    import jax
+
+    from mmloam_tpu import lie
+
+    rng = np.random.default_rng(3)
+    g = jnp.asarray([0.0, 0.0, -9.805])
+    for _ in range(10):
+        xi = jnp.asarray(rng.normal(scale=0.8, size=15))
+        xj = jnp.asarray(rng.normal(scale=0.8, size=15))
+        meas = {
+            "dq": lie.exp_quat(jnp.asarray(rng.normal(scale=0.3, size=3))),
+            "dp": jnp.asarray(rng.normal(size=3)),
+            "dv": jnp.asarray(rng.normal(size=3)),
+            "jac": jnp.asarray(np.eye(15) + rng.normal(size=(15, 15)) * 0.1),
+            "sqrt_info": jnp.asarray(
+                np.eye(15) + rng.normal(size=(15, 15)) * 0.05),
+            "dt": jnp.asarray(0.1),
+            "bg": jnp.asarray(rng.normal(scale=0.02, size=3)),
+            "ba": jnp.asarray(rng.normal(scale=0.02, size=3)),
+        }
+        z = jnp.concatenate([xi, xj])
+        J_ad = jax.jacfwd(lambda zz: factors.imu_residual(
+            zz[:15], zz[15:], meas, g))(z)
+        r_an, J_an = factors.imu_residual_and_jac(xi, xj, meas, g)
+        r_ref = factors.imu_residual(xi, xj, meas, g)
+        np.testing.assert_allclose(np.asarray(r_an), np.asarray(r_ref),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(J_an), np.asarray(J_ad),
+                                   rtol=1e-7, atol=1e-9)
