@@ -41,34 +41,83 @@ def _crop(pts, mask, near=2.0, far=50.0):
 
 
 @partial(jax.jit, static_argnames=("cfg", "iters"))
-def _icp_core(src, src_mask, vm, x0, cfg, iters):
+def _icp_core(src, src_mask, vm, x0, cfg, iters, src_normals=None,
+              gicp_eps=0.05):
+    """Point-to-plane GN, optionally GICP(plane-to-plane)-weighted.
+
+    With `src_normals` (unit normals of the SOURCE cloud's local surfaces,
+    zero rows where unknown), each residual is scaled by the
+    generalized-ICP Mahalanobis weight for disk covariances
+    (C = R_plane diag(eps,1,1) R_plane^T on both surfaces, the standard
+    GICP surface model):  sigma^2 = n_dst^T (C_dst + R C_src R^T) n_dst
+    = 2 eps + (1 - (n_dst . R n_src)^2), so correspondences whose surface
+    orientations disagree after rotation (grazing matches, mixed
+    structures) are down-weighted exactly as PCL GICP does
+    (calibratePCLICP, lidars_extrinsic_cali.h:493-563).  Without normals
+    the weight is the plain point-to-plane 1.
+    """
     mcfg = cfg.map
 
-    def gn_step(x, _):
+    # annealed correspondence gate: 2 m (the PCL GICP corr dist) for the
+    # first iterations, shrinking 0.75x per iteration to a 0.25 m floor.
+    # A FIXED 2 m gate in a room-scale scene lets structured outliers
+    # (clutter present in one sweep only) latch onto distant surfaces and
+    # makes the solve bistable — ulp-level input differences flipped the
+    # converged basin (observed f32 vs f64 runs of identical inputs);
+    # annealing keeps the wide basin for the initial pull-in and then
+    # trims every far match, which is what PCL's correspondence rejection
+    # accomplishes.
+    gates = jnp.maximum(2.0 * 0.75 ** jnp.arange(iters), 0.25) ** 2
+
+    def gn_step(x, gate2):
         R = lie.exp_matrix(x[3:6])
         t = x[0:3]
         pw = src @ R.T + t[None, :]
         nbr, nvalid, d2 = voxelmap.query_knn(vm, pw, src_mask, mcfg)
         k = mcfg.knn
-        have = nvalid[:, k - 1] & (d2[:, k - 1] < 4.0)  # GICP corr dist 2 m
-        AtA = jnp.einsum("kij,kil->kjl", nbr, nbr)
-        Atb = -jnp.sum(nbr, axis=1)
-        sol = linalg3.solve3(AtA, Atb)
-        ps = jnp.maximum(jnp.linalg.norm(sol, axis=-1), 1e-9)
-        omega = sol / ps[:, None]
-        pd = 1.0 / ps
+        have = nvalid[:, k - 1] & (d2[:, k - 1] < gate2)
+        # CENTERED total-LS plane fit (smallest eigenvector of the
+        # query-relative scatter) — the ax+by+cz+1=0 fit on ABSOLUTE
+        # coordinates this replaces is f32-catastrophic at range (the
+        # n q q^T cancellation tilts normals ~1e-2; see the same analysis
+        # in factors._plane_fit), which made the GN iteration chaotic on
+        # cluttered scenes
+        rel = nbr - pw[:, None, :]                     # (K,k,3) small coords
+        mu = jnp.mean(rel, axis=1)
+        cen = rel - mu[:, None, :]
+        scov = jnp.einsum("kij,kil->kjl", cen, cen)
+        sev = linalg3.eigvalsh3(scov)
+        omega = linalg3.smallest_eigvec3(scov, sev)
+        # signed query-to-plane distance: plane passes through pw + mu
+        pd_q = -jnp.einsum("kj,kj->k", omega, mu)
         planar = jnp.all(
-            jnp.abs(jnp.einsum("kij,kj->ki", nbr, omega) + pd[:, None]) <= 0.2,
-            axis=-1)
+            jnp.abs(jnp.einsum("kij,kj->ki", cen, omega)) <= 0.2, axis=-1)
         w = (have & planar & src_mask).astype(src.dtype)
-        r = (jnp.einsum("kj,kj->k", pw, omega) + pd) * w
+        if src_normals is not None:
+            ns_w = src_normals @ R.T                      # rotated src normals
+            cos2 = jnp.einsum("kj,kj->k", omega, ns_w) ** 2
+            known = jnp.sum(src_normals * src_normals, axis=-1) > 0.5
+            wg = jnp.sqrt((2.0 * gicp_eps)
+                          / (2.0 * gicp_eps + 1.0 - cos2))
+            w = w * jnp.where(known, wg, 1.0)
+        r0 = pd_q
+        # Huber(0.1 m) robust reweight: an undamped least-squares step on
+        # cluttered correspondences is chaotic (structured outliers several
+        # sigma out dominate the quadratic cost and ulp-level input noise
+        # flips the converged basin); sqrt(rho'/1) caps their influence
+        w = w / jnp.sqrt(jnp.maximum(jnp.abs(r0) / 0.1, 1.0))
+        r = r0 * w
 
         # J of the point-to-plane residual wrt [dt, dphi] (left-perturbation
         # R <- exp(dphi) R): dr/ddt = omega, dr/ddphi = (R p) x omega
         Jt = omega                                   # (K,3)
         Jr = jnp.cross(pw - t[None, :], omega)       # (K,3)
         J = jnp.concatenate([Jt, Jr], axis=-1) * w[:, None]
-        H = J.T @ J + 1e-6 * jnp.eye(6, dtype=src.dtype)
+        H = J.T @ J
+        # Levenberg damping relative to the diagonal scale: bounds the
+        # step when the 6x6 system is ill-conditioned (grazing geometry)
+        H = H + (1e-3 * jnp.diag(jnp.diagonal(H))
+                 + 1e-6 * jnp.eye(6, dtype=src.dtype))
         g = J.T @ r
         dx = -jnp.linalg.solve(H, g)
         x = x.at[0:3].add(dx[0:3])
@@ -78,7 +127,7 @@ def _icp_core(src, src_mask, vm, x0, cfg, iters):
         resid = jnp.sum(jnp.abs(r)) / jnp.maximum(jnp.sum(w), 1.0)
         return x, (resid, jnp.sum(w))
 
-    x, (resids, counts) = jax.lax.scan(gn_step, x0, None, length=iters)
+    x, (resids, counts) = jax.lax.scan(gn_step, x0, gates)
     return x, resids[-1], counts[-1]
 
 
@@ -123,11 +172,51 @@ def _fitted_map_config(map_cfg, pts, voxel, stencil=(2, 2, 2), mask=None,
         stencil_z=stencil[2])
 
 
+def _cloud_normals(pts, mask, cfg, voxel):
+    """Unit surface normals of a cloud from its OWN neighborhoods.
+
+    Builds a fine torus map over the cloud and plane-fits each point's
+    stencil neighborhood (the same machinery the estimator uses); rows are
+    zero where the fit fails (the GICP weight then falls back to
+    point-to-plane for that point).
+    """
+    import numpy as np
+
+    mcfg = _fitted_map_config(cfg.map, np.asarray(pts), voxel,
+                              stencil=(2, 2, 2), mask=np.asarray(mask))
+    vm = voxelmap.insert(voxelmap.empty_map(mcfg), pts, mask, mcfg)
+    _, n, s1, s2, _ = _moments(vm, pts, mask, mcfg)
+    nf = jnp.maximum(n, 1.0).astype(pts.dtype)
+    mu = s1 / nf[:, None]
+    scov = s2 - nf[:, None, None] * mu[:, None, :] * mu[:, :, None]
+    sev = linalg3.eigvalsh3(scov)
+    omega = linalg3.smallest_eigvec3(scov, sev)
+    ok = (n >= 4) & (sev[:, 1] > 0.05 * sev[:, 2]) & mask
+    return jnp.where(ok[:, None], omega, 0.0)
+
+
+def _moments(vm, pw, mask, mcfg):
+    dx, dy, dz, d2, ok = voxelmap.query_candidates(vm, pw, mask, mcfg)
+    t_k, n, w = voxelmap.select_k_smallest(d2, ok, mcfg.knn)
+    wf = w.astype(pw.dtype)
+    red = lambda a: jnp.sum(a * wf, axis=(1, 2))
+    s1 = jnp.stack([red(dx), red(dy), red(dz)], axis=-1)
+    s2 = jnp.stack([
+        jnp.stack([red(dx * dx), red(dx * dy), red(dx * dz)], axis=-1),
+        jnp.stack([red(dx * dy), red(dy * dy), red(dy * dz)], axis=-1),
+        jnp.stack([red(dx * dz), red(dy * dz), red(dz * dz)], axis=-1)],
+        axis=-2)
+    return t_k, n, s1, s2, w
+
+
 def icp_extrinsic(src_pts, dst_pts, cfg, init_T=None, iters=30,
-                  voxel=0.1):
+                  voxel=0.1, gicp=True):
     """Estimate T (4x4) aligning src onto dst (e.g. hori -> velo frame).
 
-    Returns (T, mean_abs_residual, n_matches).
+    `gicp=True` adds the plane-to-plane GICP weighting (see _icp_core) —
+    the reference's calibratePCLICP runs PCL GeneralizedICP
+    (lidars_extrinsic_cali.h:493-563).  Returns
+    (T, mean_abs_residual, n_matches).
     """
     import numpy as np
 
@@ -136,11 +225,8 @@ def icp_extrinsic(src_pts, dst_pts, cfg, init_T=None, iters=30,
     src_mask = _crop(src, jnp.isfinite(src).all(axis=-1))
     dst_mask = _crop(dst, jnp.isfinite(dst).all(axis=-1))
 
-    mcfg = _fitted_map_config(cfg.map, np.asarray(dst_pts), voxel,
-                              stencil=(2, 2, 2),
-                              mask=np.asarray(dst_mask))
-    cfg2 = cfg.replace(map=mcfg)
-    vm = voxelmap.insert(voxelmap.empty_map(mcfg), dst, dst_mask, mcfg)
+    src_normals = (_cloud_normals(src, src_mask, cfg, voxel)
+                   if gicp else None)
 
     x0 = jnp.zeros(6, jnp.float32)
     if init_T is not None:
@@ -148,11 +234,49 @@ def icp_extrinsic(src_pts, dst_pts, cfg, init_T=None, iters=30,
         x0 = x0.at[0:3].set(jnp.asarray(T[:3, 3], jnp.float32))
         x0 = x0.at[3:6].set(lie.log_matrix(jnp.asarray(T[:3, :3],
                                                        jnp.float32)))
-    x, resid, n = _icp_core(src, src_mask, vm, x0, cfg2, iters)
+
+    # coarse-to-fine: the stencil's CAPTURE RADIUS is ~2 leaves per axis,
+    # so a fine-leaf map cannot even see correspondences beyond ~2*voxel
+    # of initial misalignment (a 0.2 m offset at voxel 0.08 leaves the
+    # constraining surface invisible and that DoF silently unobserved —
+    # the solve "converges" with near-zero residual at the wrong pose).
+    # A coarse pass at 4x the leaf pulls the estimate into fine-capture
+    # range first; PCL GICP's kd-tree search radius plays the same role.
+    x = x0
+    resid = n = None
+    for lv_voxel, lv_iters in ((4.0 * voxel, max(iters // 2, 5)),
+                               (voxel, iters)):
+        mcfg = _fitted_map_config(cfg.map, np.asarray(dst_pts), lv_voxel,
+                                  stencil=(2, 2, 2),
+                                  mask=np.asarray(dst_mask))
+        cfg2 = cfg.replace(map=mcfg)
+        vm = voxelmap.insert(voxelmap.empty_map(mcfg), dst, dst_mask, mcfg)
+        x, resid, n = _icp_core(src, src_mask, vm, x, cfg2, lv_iters,
+                                src_normals=src_normals)
     T = np.eye(4)
     T[:3, :3] = np.asarray(lie.exp_matrix(x[3:6]))
     T[:3, 3] = np.asarray(x[0:3])
     return T, float(resid), int(n)
+
+
+def align_startup(hori_frames, velo_cloud, cfg, init_T=None, iters=40,
+                  voxel=0.08):
+    """Startup extrinsic estimation: integrate several Horizon frames,
+    then one GICP against the newest Velodyne cloud.
+
+    Mirrors LidarsParamEstimator::hori_cloud_handler's integration phase
+    (unionLidarsAligner.cpp:224-254: `_hori_igcloud += *pointCloudIn`
+    for `_hori_itegrate_frames` messages, then calibratePCLICP against
+    `_velo_new_cloud`).  `hori_frames` is a list of (Ni, 3) clouds in the
+    Horizon frame (the rig is assumed static during integration, like the
+    reference's startup).  Returns (T_hori_to_velo, resid, n_matches).
+    """
+    import numpy as np
+
+    ig = np.concatenate([np.asarray(f, np.float32) for f in hori_frames],
+                        axis=0)
+    return icp_extrinsic(ig, velo_cloud, cfg, init_T=init_T, iters=iters,
+                         voxel=voxel, gicp=True)
 
 
 def estimate_time_offset(hori_abs_t, hori_pts, velo_pts, velo_t0, velo_t1,

@@ -72,3 +72,66 @@ def test_time_offset_search():
         stream_t[ok] + true_off, hori_lidar[ok], velo_cloud, t0, t1, CFG,
         offsets)
     assert abs(best - true_off) <= 0.015, f"best {best}, scores {scores}"
+
+
+def test_gicp_weighting_rejects_misoriented_clutter():
+    """Plane-to-plane weighting: a clutter patch in the SOURCE cloud whose
+    surface orientation disagrees with what it lands on in dst must not
+    drag the estimate; GICP stays within the clean-cloud error budget."""
+    rng = np.random.default_rng(4)
+    R = np.asarray(lie.exp_matrix(jnp.array([-0.015, 0.02, -0.04])))
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = [0.1, 0.12, -0.04]
+    velo, hori = two_lidar_clouds(rng, T)
+    # clutter: a vertical disc of points 3 m ahead in the hori frame only
+    # (e.g. a person/object present during the hori sweep) — its normal
+    # disagrees with the floor/wall surfaces its matches land on
+    nclut = 600
+    disc = np.stack([np.full(nclut, 3.0),
+                     rng.uniform(-0.5, 0.5, nclut),
+                     rng.uniform(-1.0, 0.4, nclut)], -1).astype(np.float32)
+    hori_cl = np.concatenate([hori, disc], axis=0)
+    T_g, _, n_g = calibration.icp_extrinsic(hori_cl, velo, CFG, iters=25,
+                                            gicp=True)
+    err_t = np.linalg.norm(T_g[:3, 3] - T[:3, 3])
+    err_r = np.linalg.norm(np.asarray(
+        lie.log_matrix(jnp.asarray(T_g[:3, :3] @ T[:3, :3].T))))
+    assert n_g > 200
+    assert err_t < 0.04, f"gicp translation err {err_t}"
+    assert err_r < 0.012, f"gicp rotation err {err_r}"
+
+
+def test_align_startup_integrates_frames():
+    """Multi-frame startup integration (unionLidarsAligner.cpp:224-254):
+    several sparse hori frames integrate into one cloud dense enough to
+    calibrate, where a single frame is too sparse."""
+    rng = np.random.default_rng(5)
+    R = np.asarray(lie.exp_matrix(jnp.array([0.02, 0.01, 0.06])))
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = [0.2, -0.05, 0.08]
+    world = synthetic.default_world()
+    frames = []
+    for i in range(6):
+        dirs = rng.normal(size=(700, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        sel = np.abs(np.arctan2(dirs[:, 1], dirs[:, 0])) < 1.6
+        dirs = dirs[sel]
+        r = world.raycast(np.zeros(3), dirs)
+        ok = np.isfinite(r)
+        velo_pts = dirs[ok] * r[ok][:, None]
+        frames.append(((velo_pts - T[:3, 3]) @ R).astype(np.float32))
+    dirs = rng.normal(size=(6000, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    r = world.raycast(np.zeros(3), dirs)
+    ok = np.isfinite(r)
+    velo = (dirs[ok] * r[ok][:, None]).astype(np.float32)
+
+    T_est, resid, n = calibration.align_startup(frames, velo, CFG)
+    err_t = np.linalg.norm(T_est[:3, 3] - T[:3, 3])
+    err_r = np.linalg.norm(np.asarray(
+        lie.log_matrix(jnp.asarray(T_est[:3, :3] @ T[:3, :3].T))))
+    assert n > 250  # Huber-weighted effective match count
+    assert err_t < 0.04, f"startup translation err {err_t}"
+    assert err_r < 0.012, f"startup rotation err {err_r}"
