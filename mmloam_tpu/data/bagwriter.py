@@ -75,6 +75,60 @@ def serialize_pointcloud2(seq, t, xyz, intensity, ring, time_rel) -> bytes:
     return out
 
 
+def serialize_pointcloud2_ouster(seq, t, xyz, intensity, ring,
+                                  t_ns) -> bytes:
+    """Ouster-style cloud (preprocess.h ouster_ros::Point): x,y,z,intensity
+    f32 + t u32 (nanoseconds from scan start) + reflectivity u16 + ring u8
+    + ambient u16 + range u32."""
+    n = len(xyz)
+    point_step = 16 + 4 + 2 + 1 + 2 + 4
+    out = _ros_header(seq, t)
+    out += struct.pack("<II", 1, n)
+    fields = [(b"x", 0, 7), (b"y", 4, 7), (b"z", 8, 7),
+              (b"intensity", 12, 7), (b"t", 16, 6),
+              (b"reflectivity", 20, 4), (b"ring", 22, 2),
+              (b"ambient", 23, 4), (b"range", 25, 6)]
+    out += struct.pack("<I", len(fields))
+    for name, off, dt in fields:
+        out += struct.pack("<I", len(name)) + name
+        out += struct.pack("<IBI", off, dt, 1)
+    out += struct.pack("<B", 0)
+    out += struct.pack("<II", point_step, point_step * n)
+    data = b"".join(
+        struct.pack("<4fIHBHI", xyz[i][0], xyz[i][1], xyz[i][2],
+                    intensity[i], int(t_ns[i]), 0, ring[i], 0, 0)
+        for i in range(n))
+    out += struct.pack("<I", len(data)) + data
+    out += struct.pack("<B", 1)
+    return out
+
+
+def serialize_pointcloud2_hesai(seq, t, xyz, intensity, ring,
+                                t_abs) -> bytes:
+    """Hesai-style cloud (preprocess.h hesai_ros::Point): x,y,z,intensity
+    f32 + ring u16 + timestamp f64 (ABSOLUTE epoch seconds per point)."""
+    n = len(xyz)
+    point_step = 16 + 2 + 8
+    out = _ros_header(seq, t)
+    out += struct.pack("<II", 1, n)
+    fields = [(b"x", 0, 7), (b"y", 4, 7), (b"z", 8, 7),
+              (b"intensity", 12, 7), (b"ring", 16, 4),
+              (b"timestamp", 18, 8)]
+    out += struct.pack("<I", len(fields))
+    for name, off, dt in fields:
+        out += struct.pack("<I", len(name)) + name
+        out += struct.pack("<IBI", off, dt, 1)
+    out += struct.pack("<B", 0)
+    out += struct.pack("<II", point_step, point_step * n)
+    data = b"".join(
+        struct.pack("<4fHd", xyz[i][0], xyz[i][1], xyz[i][2],
+                    intensity[i], ring[i], float(t_abs[i]))
+        for i in range(n))
+    out += struct.pack("<I", len(data)) + data
+    out += struct.pack("<B", 1)
+    return out
+
+
 def serialize_livox(seq, t, timebase_ns, pts) -> bytes:
     """livox_ros_driver/CustomMsg; pts = [(offset_ns,x,y,z,refl,tag,line)]."""
     out = _ros_header(seq, t)

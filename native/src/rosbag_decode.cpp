@@ -417,6 +417,16 @@ long mm_bag_pc2_points(void* h, const char* topic, long msg_idx,
              f.name == "time_offset") ft = &f;
   }
   if (!fx || !fy || !fz) return -1;
+  // Hesai-style layouts stamp each point with an ABSOLUTE float64 time
+  // (preprocess.h hesai_ros::Point).  Casting ~1.7e9 s epoch values to
+  // f32 quantizes to ~256 s steps, destroying the per-point ordering the
+  // undistortion needs — subtract the scan's first timestamp in f64
+  // before narrowing.  Relative-time layouts (velodyne f32 `time`,
+  // ouster u32 `t` nanoseconds) pass through unchanged; the python
+  // decoder normalizes by span, so units cancel.
+  double t0 = 0.0;
+  if (ft && ft->dtype == 8 && n > 0)
+    std::memcpy(&t0, data + ft->offset, 8);
   for (long i = 0; i < n; ++i) {
     const uint8_t* p = data + size_t(i) * step;
     xyz[i * 3 + 0] = field_as_float(p + fx->offset, fx->dtype);
@@ -424,7 +434,13 @@ long mm_bag_pc2_points(void* h, const char* topic, long msg_idx,
     xyz[i * 3 + 2] = field_as_float(p + fz->offset, fz->dtype);
     intensity[i] = fi ? field_as_float(p + fi->offset, fi->dtype) : 0.0f;
     ring[i] = fr ? int32_t(field_as_float(p + fr->offset, fr->dtype)) : -1;
-    time_rel[i] = ft ? field_as_float(p + ft->offset, ft->dtype) : 0.0f;
+    if (ft && ft->dtype == 8) {
+      double tv;
+      std::memcpy(&tv, p + ft->offset, 8);
+      time_rel[i] = float(tv - t0);
+    } else {
+      time_rel[i] = ft ? field_as_float(p + ft->offset, ft->dtype) : 0.0f;
+    }
   }
   return n;
 }

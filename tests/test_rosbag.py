@@ -81,3 +81,44 @@ def test_roundtrip(tmp_path):
                                [i * 1e4 * 1e-9 for i in range(30)],
                                rtol=1e-5)
     bag.close()
+
+
+def test_vendor_layouts_roundtrip(tmp_path):
+    """Ouster (u32 ns `t`, u8 ring) and Hesai (f64 ABSOLUTE `timestamp`)
+    layouts decode with correct ring + per-point relative time; the Hesai
+    epoch-scale f64 stamps must survive (a naive f32 cast quantizes
+    1.7e9 s to ~256 s steps and destroys the intra-scan ordering).
+    Reference layouts: preprocess.h ouster_ros/hesai_ros Point structs.
+    """
+    import numpy as np
+
+    from mmloam_tpu.data import bagwriter, rosbag
+
+    n = 64
+    rng = np.random.default_rng(0)
+    xyz = rng.normal(size=(n, 3)).astype(np.float32)
+    inten = np.linspace(0, 63, n).astype(np.float32)
+    ring = (np.arange(n) % 4).astype(np.int64)
+    rel_s = np.linspace(0.0, 0.1, n)                # true intra-scan times
+
+    t_wall = 1.7e9
+    msgs = [
+        ("/ouster", "sensor_msgs/PointCloud2", t_wall,
+         bagwriter.serialize_pointcloud2_ouster(
+             0, t_wall, xyz, inten, ring, (rel_s * 1e9).astype(np.uint64))),
+        ("/hesai", "sensor_msgs/PointCloud2", t_wall,
+         bagwriter.serialize_pointcloud2_hesai(
+             0, t_wall, xyz, inten, ring, t_wall + rel_s)),
+    ]
+    path = str(tmp_path / "vendors.bag")
+    bagwriter.write_bag(path, msgs)
+    bag = rosbag.BagReader(path)
+
+    for topic, scale in (("/ouster", 1e9), ("/hesai", 1.0)):
+        pc = bag.read_pointcloud2(topic, 0)
+        np.testing.assert_allclose(pc["xyz"], xyz, rtol=1e-6)
+        np.testing.assert_array_equal(pc["ring"], ring)
+        rel = pc["time_rel"] / scale
+        # relative times reproduce the true intra-scan ordering to <1 ms
+        np.testing.assert_allclose(rel - rel[0], rel_s, atol=1e-3,
+                                   err_msg=topic)
