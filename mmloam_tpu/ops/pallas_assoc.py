@@ -282,7 +282,7 @@ def _assoc_kernel(slot_ref, meta_ref, cells_ref, out_ref, scratch, sems, *,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "mode", "k", "interpret"))
-def assoc_batched(cells, pw, mask, cfg, mode, k=5, interpret=False):
+def assoc_batched(cells, pw, mask, cfg, mode, k=5, interpret=None):
     """Batched fused association: cells (B, Cs, 128), pw (B, M, 3),
     mask (B, M).  mode 0 = plane (surf maps), 1 = line (corner maps).
 
@@ -291,6 +291,10 @@ def assoc_batched(cells, pw, mask, cfg, mode, k=5, interpret=False):
     `_line_fit` derive from `voxelmap.query_candidates` +
     `select_k_smallest` + the moment reductions.
     """
+    if interpret is None:
+        # the kernel only lowers on TPU; on CPU (tests forcing the kernel
+        # path) fall back to the Pallas interpreter automatically
+        interpret = jax.default_backend() == "cpu"
     B, M = pw.shape[:2]
     assert M % GP == 0, (M, GP)
     slot, meta_q = jax.vmap(lambda p, m: prepare_queries(p, m, cfg))(pw, mask)
