@@ -263,6 +263,11 @@ class LIOConfig:
     local_map: MapConfig = MapConfig(voxel_size=0.2, dim_x=192, dim_y=192,
                                      dim_z=32)
     use_local_map: bool = True
+    # fused Pallas association kernel on TPU (ops/pallas_assoc.py); False
+    # falls back to the XLA gather association everywhere.  Escape hatch
+    # for Mosaic lowering regressions — the CPU/test backend always uses
+    # the XLA path regardless (factors._kernel_ok).
+    use_pallas_assoc: bool = True
     solver: SolverConfig = SolverConfig()
     failsafe: FailsafeConfig = FailsafeConfig()
     velo_only_mode: bool = False     # reference: Velo_Only_Mode rosparam

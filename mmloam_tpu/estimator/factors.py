@@ -186,7 +186,7 @@ def associate_lines(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
     M = pw.shape[0]
 
     def one_map(vmi, mcfg):
-        if _kernel_ok(mcfg, M):
+        if cfg.use_pallas_assoc and _kernel_ok(mcfg, M):
             return _line_from_kernel(pw, mask, vmi, mcfg, thres_dist, k)
         t_k, n, s1, s2, _ = _neighbor_moments(vmi, pw, mask, mcfg, k)
         return _line_fit(pw, mask, t_k, n, s1, s2, thres_dist, k)
@@ -295,7 +295,7 @@ def associate_planes(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
     M = pw.shape[0]
 
     def one_map(vmi, mcfg):
-        if _kernel_ok(mcfg, M):
+        if cfg.use_pallas_assoc and _kernel_ok(mcfg, M):
             return _plane_from_kernel(pw, mask, vmi, mcfg, thres_dist, k,
                                       cfg)
         t_k, n, s1, s2, blk = _neighbor_moments(vmi, pw, mask, mcfg, k)
