@@ -94,6 +94,18 @@ def _kernel_fits(vm, pw, mask, mcfg, mode, knn):
     return mu[0], vec[0], ev[0], t_k[0], n[0], planar[0]
 
 
+def _dual_from_kernel(pw, mask, vm, vm_local, cfg, thres_dist, k, mode):
+    """Dual-tier kernel dispatch: global fit + conditional local rescue in
+    ONE pallas launch (pallas_assoc.assoc_dual_batched) — the local tier's
+    row DMAs are skipped per point when the global fit succeeds."""
+    mu, vec, valid, _ = pallas_assoc.assoc_dual_batched(
+        vm.cells[None], vm_local.cells[None], pw[None], mask[None],
+        jnp.asarray(thres_dist, pw.dtype), cfg.map, cfg.local_map,
+        mode=mode, k=k,
+        scatter_ratio=(cfg.solver.plane_scatter_ratio if mode == 0 else 0.0))
+    return mu[0], vec[0], valid[0]
+
+
 def _line_from_kernel(pw, mask, vm, mcfg, thres_dist, k):
     mu, u, ev, t_k, n, _ = _kernel_fits(vm, pw, mask, mcfg, 1, k)
     have5 = (n >= k) & (t_k < thres_dist)
@@ -191,6 +203,12 @@ def associate_lines(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
         t_k, n, s1, s2, _ = _neighbor_moments(vmi, pw, mask, mcfg, k)
         return _line_fit(pw, mask, t_k, n, s1, s2, thres_dist, k)
 
+    dual_kernel = (vm_local is not None and cfg.use_pallas_assoc
+                   and _kernel_ok(cfg.map, M) and _kernel_ok(cfg.local_map, M))
+    if dual_kernel:
+        mu, u, valid = _dual_from_kernel(pw, mask, vm, vm_local, cfg,
+                                         thres_dist, k, mode=1)
+        return LineTargets(p_l=p_l, c=pw + mu, u=u, valid=valid)
     c, u, valid = one_map(vm, cfg.map)
     if vm_local is not None:
         c2, u2, valid2 = one_map(vm_local, cfg.local_map)
@@ -301,13 +319,21 @@ def associate_planes(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
         t_k, n, s1, s2, blk = _neighbor_moments(vmi, pw, mask, mcfg, k)
         return _plane_fit(pw, mask, t_k, n, s1, s2, blk, thres_dist, k, cfg)
 
-    proj, omega, valid = one_map(vm, cfg.map)
-    if vm_local is not None:
-        proj2, omega2, valid2 = one_map(vm_local, cfg.local_map)
-        use2 = ~valid & valid2
-        proj = jnp.where(use2[:, None], proj2, proj)
-        omega = jnp.where(use2[:, None], omega2, omega)
-        valid = valid | valid2
+    dual_kernel = (vm_local is not None and cfg.use_pallas_assoc
+                   and _kernel_ok(cfg.map, M) and _kernel_ok(cfg.local_map, M))
+    if dual_kernel:
+        mu, omega, valid = _dual_from_kernel(pw, mask, vm, vm_local, cfg,
+                                             thres_dist, k, mode=0)
+        dist = -jnp.einsum("kj,kj->k", omega, mu)
+        proj = pw - dist[:, None] * omega
+    else:
+        proj, omega, valid = one_map(vm, cfg.map)
+        if vm_local is not None:
+            proj2, omega2, valid2 = one_map(vm_local, cfg.local_map)
+            use2 = ~valid & valid2
+            proj = jnp.where(use2[:, None], proj2, proj)
+            omega = jnp.where(use2[:, None], omega2, omega)
+            valid = valid | valid2
 
     basis = jax.vmap(_plane_basis)(omega)         # (K,3,3)
     w = jnp.array([1.0, weight_tan, weight_tan], pw.dtype)

@@ -140,6 +140,126 @@ def _eigvec_lanes(a00, a01, a02, a11, a12, a22, l_a, l_b, fallback):
             jnp.where(ok, vz * inv, fallback[2]))
 
 
+def _fit_rows(rows, mq, *, k, mode, packs, voxel, stencil,
+              scatter_ratio=0.0):
+    """Candidate math for one tier from fetched rows: validity, exact
+    k-th-smallest selection, moments, closed-form fit, and the full
+    per-point acceptance gate.  rows: (GP, 8, 128); mq: (GP, 8, 8).
+
+    Returns (mux, muy, muz, vx, vy, vz, t_k, n, fit_ok) — fit_ok is the
+    THRESHOLD-FREE part of validity (selection count, fit-shape gates,
+    association-error floor); callers AND it with (t_k < thres_dist).
+    """
+    px, py, pz = packs
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 32), 2)
+    scz = (lane % pz).astype(jnp.float32)
+    scy = ((lane // pz) % py).astype(jnp.float32)
+    scx = (lane // (py * pz)).astype(jnp.float32)
+    smx, smy, smz = scx * voxel, scy * voxel, scz * voxel
+    stx, sty, stz = stencil
+    GPn = rows.shape[0]
+
+    sx = rows[:, :, 0:32]
+    sy = rows[:, :, 32:64]
+    sz = rows[:, :, 64:96]
+    meta = rows[:, :, 96:128]
+    base_x = mq[:, :, 0:1]
+    base_y = mq[:, :, 1:2]
+    base_z = mq[:, :, 2:3]
+    ov_x = mq[:, :, 3:4]
+    ov_y = mq[:, :, 4:5]
+    ov_z = mq[:, :, 5:6]
+    keyq = mq[:, :, 6:7]
+
+    key_st = jnp.floor(meta * (1.0 / _META_MOD))
+    cnt = meta - key_st * _META_MOD
+    okf = ((key_st == keyq) & (cnt > 0.0)).astype(jnp.float32)
+    okf = okf * (jnp.abs(ov_x + scx) <= stx)
+    okf = okf * (jnp.abs(ov_y + scy) <= sty)
+    okf = okf * (jnp.abs(ov_z + scz) <= stz)
+
+    inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
+    dx = base_x + smx + sx * inv_cnt
+    dy = base_y + smy + sy * inv_cnt
+    dz = base_z + smz + sz * inv_cnt
+    d2 = dx * dx + dy * dy + dz * dz
+    big = jnp.float32(3.0e38)
+    d2m = jnp.where(okf > 0.0, d2, big)
+
+    t = jnp.full((GPn, 1, 1), big)
+    nsel = jnp.zeros((GPn, 1, 1), jnp.float32)
+    done = jnp.zeros((GPn, 1, 1), jnp.float32)
+    cur = d2m
+    for _ in range(k):
+        m = jnp.min(cur, axis=(1, 2), keepdims=True)
+        c = jnp.sum((cur <= m).astype(jnp.float32), axis=(1, 2),
+                    keepdims=True)
+        fin = (m < big).astype(jnp.float32)
+        take = (1.0 - done) * fin
+        t = jnp.where(take > 0.0, m, t)
+        nsel = nsel + take * c
+        done = jnp.maximum(done, (nsel >= k).astype(jnp.float32))
+        done = jnp.maximum(done, 1.0 - fin)
+        cur = jnp.where(cur <= m, big, cur)
+
+    w = ((okf > 0.0) & (d2 <= t)).astype(jnp.float32)
+    n = jnp.sum(w, axis=(1, 2))
+    nf = jnp.maximum(n, 1.0)
+
+    s1x = jnp.sum(dx * w, axis=(1, 2))
+    s1y = jnp.sum(dy * w, axis=(1, 2))
+    s1z = jnp.sum(dz * w, axis=(1, 2))
+    sxx = jnp.sum(dx * dx * w, axis=(1, 2))
+    syy = jnp.sum(dy * dy * w, axis=(1, 2))
+    szz = jnp.sum(dz * dz * w, axis=(1, 2))
+    sxy = jnp.sum(dx * dy * w, axis=(1, 2))
+    sxz = jnp.sum(dx * dz * w, axis=(1, 2))
+    syz = jnp.sum(dy * dz * w, axis=(1, 2))
+    mux, muy, muz = s1x / nf, s1y / nf, s1z / nf
+
+    if mode == 0:
+        a00 = sxx - nf * mux * mux
+        a11 = syy - nf * muy * muy
+        a22 = szz - nf * muz * muz
+        a01 = sxy - nf * mux * muy
+        a02 = sxz - nf * mux * muz
+        a12 = syz - nf * muy * muz
+        e_lo, e_mid, e_hi = _eigvalsh3_lanes(a00, a01, a02, a11, a12, a22)
+        vx, vy, vz = _eigvec_lanes(a00, a01, a02, a11, a12, a22,
+                                   e_mid, e_hi, (0.0, 0.0, 1.0))
+        dev = ((dx - mux[:, None, None]) * vx[:, None, None]
+               + (dy - muy[:, None, None]) * vy[:, None, None]
+               + (dz - muz[:, None, None]) * vz[:, None, None])
+        bad = jnp.sum(((w > 0.0) & (jnp.abs(dev) > 0.2))
+                      .astype(jnp.float32), axis=(1, 2))
+        shape_ok = bad == 0.0
+        if scatter_ratio > 0.0:
+            shape_ok = shape_ok & (e_mid > scatter_ratio * e_hi)
+        err0 = jnp.abs(mux * vx + muy * vy + muz * vz)
+    else:
+        a00 = sxx / nf - mux * mux
+        a11 = syy / nf - muy * muy
+        a22 = szz / nf - muz * muz
+        a01 = sxy / nf - mux * muy
+        a02 = sxz / nf - mux * muz
+        a12 = syz / nf - muy * muz
+        e_lo, e_mid, e_hi = _eigvalsh3_lanes(a00, a01, a02, a11, a12, a22)
+        vx, vy, vz = _eigvec_lanes(a00, a01, a02, a11, a12, a22,
+                                   e_mid, e_lo, (1.0, 0.0, 0.0))
+        shape_ok = e_hi > 3.0 * e_mid
+        # err0 = |(-mu) x u|
+        cxl = (-muy) * vz - (-muz) * vy
+        cyl = (-muz) * vx - (-mux) * vz
+        czl = (-mux) * vy - (-muy) * vx
+        err0 = jnp.sqrt(cxl * cxl + cyl * cyl + czl * czl)
+
+    t_out = jnp.where(t[:, 0, 0] >= big, jnp.float32(jnp.inf), t[:, 0, 0])
+    fit_ok = ((n >= k) & shape_ok & (err0 > 1e-5)).astype(jnp.float32)
+    # the planarity/eigenvalue exports keep the single-tier path's contract
+    return (mux, muy, muz, vx, vy, vz, e_lo, e_mid, e_hi, t_out, n,
+            fit_ok)
+
+
 def _assoc_kernel(slot_ref, meta_ref, cells_ref, out_ref, scratch, sems, *,
                   k, mode, packs, voxel, stencil):
     """One grid step: fetch GP points' stencil rows, select, fit.
@@ -326,3 +446,154 @@ def assoc_batched(cells, pw, mask, cfg, mode, k=5, interpret=None):
     vec = out[..., 3:6]
     evals = out[..., 6:9]
     return mu, vec, evals, out[..., 9], out[..., 10], out[..., 11]
+
+
+def _assoc_dual_kernel(slotg_ref, metag_ref, slotl_ref, metal_ref,
+                       thres_ref, cells_g_ref, cells_l_ref, out_ref,
+                       scratch, sems, need_smem, *,
+                       k, mode, params_g, params_l, scatter_ratio):
+    """Dual-tier association: global fit, then PER-POINT CONDITIONAL
+    local-map fetch+fit only where the global fit failed.
+
+    The local (fine-leaf recent-history) tier exists to rescue the few
+    percent of points the persistent map cannot fit (Estimator.cpp:283-360
+    local branch); fetching its stencil rows for EVERY point doubled the
+    association DMA volume.  Here stage 2's row DMAs are issued under
+    `pl.when(need)` per point, so ~95% of local-tier traffic disappears in
+    the steady state.  Stale stage-1 rows left in scratch for non-needy
+    points are harmless: their local fit result is discarded by the
+    `valid_g` select (and their expected local epoch key almost never
+    matches a global row's meta anyway).
+
+    out lanes per point: [mu(3), vec(3), valid(1), used_local(1), pad(8)].
+    """
+    b = pl.program_id(0)
+    thres = thres_ref[0, 0]
+
+    def issue_g(i, _):
+        row = slotg_ref[0, i // 8, i % 8]
+        pltpu.make_async_copy(cells_g_ref.at[b, row], scratch.at[i],
+                              sems.at[i]).start()
+        return 0
+
+    jax.lax.fori_loop(0, GP * 8, issue_g, 0)
+
+    def wait_g(i, _):
+        row = slotg_ref[0, i // 8, i % 8]
+        pltpu.make_async_copy(cells_g_ref.at[b, row], scratch.at[i],
+                              sems.at[i]).wait()
+        return 0
+
+    jax.lax.fori_loop(0, GP * 8, wait_g, 0)
+
+    rows = scratch[:].reshape(GP, 8, 128)
+    (gmux, gmuy, gmuz, gvx, gvy, gvz, _, _, _, g_t, _, g_fit) = _fit_rows(
+        rows, metag_ref[0], k=k, mode=mode, scatter_ratio=scatter_ratio,
+        **params_g)
+    valid_g = (g_fit > 0.0) & (g_t < thres)
+
+    # per-point rescue flags into SMEM so the DMA loop can read scalars
+    need_smem[0, :] = jnp.where(valid_g, 0, 1).astype(jnp.int32)
+
+    def issue_l(i, _):
+        @pl.when(need_smem[0, i // 8] > 0)
+        def _():
+            row = slotl_ref[0, i // 8, i % 8]
+            pltpu.make_async_copy(cells_l_ref.at[b, row], scratch.at[i],
+                                  sems.at[i]).start()
+        return 0
+
+    jax.lax.fori_loop(0, GP * 8, issue_l, 0)
+
+    def wait_l(i, _):
+        @pl.when(need_smem[0, i // 8] > 0)
+        def _():
+            row = slotl_ref[0, i // 8, i % 8]
+            pltpu.make_async_copy(cells_l_ref.at[b, row], scratch.at[i],
+                                  sems.at[i]).wait()
+        return 0
+
+    jax.lax.fori_loop(0, GP * 8, wait_l, 0)
+
+    rows_l = scratch[:].reshape(GP, 8, 128)
+    (lmux, lmuy, lmuz, lvx, lvy, lvz, _, _, _, l_t, _, l_fit) = _fit_rows(
+        rows_l, metal_ref[0], k=k, mode=mode, scatter_ratio=scatter_ratio,
+        **params_l)
+    valid_l = (~valid_g) & (l_fit > 0.0) & (l_t < thres)
+
+    vgf = valid_g.astype(jnp.float32)
+    vlf = valid_l.astype(jnp.float32)
+    pick_l = vlf
+    mux = jnp.where(pick_l > 0.0, lmux, gmux)
+    muy = jnp.where(pick_l > 0.0, lmuy, gmuy)
+    muz = jnp.where(pick_l > 0.0, lmuz, gmuz)
+    vx = jnp.where(pick_l > 0.0, lvx, gvx)
+    vy = jnp.where(pick_l > 0.0, lvy, gvy)
+    vz = jnp.where(pick_l > 0.0, lvz, gvz)
+    valid = jnp.maximum(vgf, vlf)
+    z = jnp.zeros_like(valid)
+    out_ref[0] = jnp.stack([mux, muy, muz, vx, vy, vz, valid, pick_l,
+                            z, z, z, z, z, z, z, z], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg_g", "cfg_l", "mode", "k",
+                                             "scatter_ratio", "interpret"))
+def assoc_dual_batched(cells_g, cells_l, pw, mask, thres, cfg_g, cfg_l,
+                       mode, k=5, scatter_ratio=0.0, interpret=None):
+    """Dual-tier fused association: global map + conditional local rescue.
+
+    cells_g/cells_l: (B, Cs, 128); pw: (B, M, 3); mask: (B, M); thres: ()
+    traced squared-distance gate (the member-variable schedule value).
+    Returns (mu (B,M,3), vec (B,M,3), valid (B,M) bool, used_local (B,M)
+    bool) — the MERGED fit, all acceptance gates already applied
+    (selection count, thres, planarity/scatter or line-likeness, error
+    floor), matching factors._plane_fit/_line_fit + the vm_local fallback
+    select.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, M = pw.shape[:2]
+    assert M % GP == 0, (M, GP)
+    slot_g, meta_g = jax.vmap(lambda p, m: prepare_queries(p, m, cfg_g))(
+        pw, mask)
+    slot_l, meta_l = jax.vmap(lambda p, m: prepare_queries(p, m, cfg_l))(
+        pw, mask)
+    dtype = jnp.float32
+
+    def params(cfg):
+        return dict(packs=voxelmap._pack(cfg), voxel=float(cfg.voxel_size),
+                    stencil=(float(cfg.stencil_x), float(cfg.stencil_y),
+                             float(cfg.stencil_z)))
+
+    kern = functools.partial(
+        _assoc_dual_kernel, k=k, mode=mode, params_g=params(cfg_g),
+        params_l=params(cfg_l), scatter_ratio=float(scatter_ratio))
+    thres_arr = jnp.broadcast_to(
+        jnp.asarray(thres, dtype).reshape(1, 1), (1, 1))
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, M, 16), dtype),
+        grid=(B, M // GP),
+        in_specs=[
+            pl.BlockSpec((1, GP, 8), lambda b, g: (b, g, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, GP, 8, 8), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GP, 8), lambda b, g: (b, g, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, GP, 8, 8), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b, g: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, GP, 16), lambda b, g: (b, g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((GP * 8, 128), dtype),
+                        pltpu.SemaphoreType.DMA((GP * 8,)),
+                        pltpu.SMEM((1, GP), jnp.int32)],
+        interpret=interpret,
+    )(slot_g, meta_g, slot_l, meta_l, thres_arr, cells_g, cells_l)
+    return (out[..., 0:3], out[..., 3:6], out[..., 6] > 0.5,
+            out[..., 7] > 0.5)

@@ -65,3 +65,44 @@ def test_line_dispatch_matches(monkeypatch):
         dots = np.abs(np.sum(np.asarray(lt_x.u)[both]
                              * np.asarray(lt_k.u)[both], axis=-1))
         assert (dots > 0.995).mean() > 0.95
+
+
+def test_dual_dispatch_matches(monkeypatch):
+    """associate_planes with vm_local: the single-launch dual kernel path
+    == the XLA global+local fallback path."""
+    from mmloam_tpu.ops import voxelmap as vx
+
+    cfg, vm, world, rng = _build(seed=2, n_scans=2)
+    vm_l = vx.empty_map(cfg.local_map)
+    az = np.linspace(-np.pi, np.pi, 720, endpoint=False)
+    elevs = np.deg2rad([-12.0, -4.0, 4.0, 12.0])
+    A, E = np.meshgrid(az, elevs)
+    dirs = np.stack([np.cos(E) * np.cos(A), np.cos(E) * np.sin(A),
+                     np.sin(E)], -1).reshape(-1, 3)
+    for i in range(3):
+        o = np.array([0.3 * i, 0.1 * i, 0.0])
+        r = world.raycast(o, dirs)
+        ok = np.isfinite(r)
+        pts = o + dirs * np.where(ok, r, 0.0)[:, None]
+        vm_l = vx.insert(vm_l, jnp.asarray(pts, jnp.float32),
+                         jnp.asarray(ok), cfg.local_map)
+    pw, mask = _queries(world, rng, M=256)
+    x6 = jnp.zeros(6, jnp.float32)
+    I3, z3 = jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32)
+
+    (pt_x, om_x, _), (pt_k, om_k, _) = _run_both(
+        monkeypatch, factors.associate_planes, x6, pw, mask, vm, I3, z3,
+        cfg, 1.0, 0.0, vm_local=vm_l)
+    vx_, vk = np.asarray(pt_x.valid), np.asarray(pt_k.valid)
+    assert (vx_ == vk).mean() > 0.97
+    both = vx_ & vk
+    assert both.sum() > 50
+    np.testing.assert_allclose(np.asarray(pt_x.proj)[both],
+                               np.asarray(pt_k.proj)[both],
+                               rtol=1e-3, atol=2e-4)
+
+    lt_x, lt_k = _run_both(
+        monkeypatch, factors.associate_lines, x6, pw, mask, vm, I3, z3,
+        cfg, 1.0, vm_local=vm_l)
+    vx_, vk = np.asarray(lt_x.valid), np.asarray(lt_k.valid)
+    assert (vx_ == vk).mean() > 0.96, (vx_ == vk).mean()

@@ -174,3 +174,52 @@ def test_masked_and_empty_map():
         vm.cells[None], pw[None], none[None], cfg.map, mode=0,
         interpret=True)
     assert np.isinf(np.asarray(t2)).all() and (np.asarray(n2) == 0).all()
+
+
+def test_dual_tier_matches_xla_path():
+    """assoc_dual_batched == the XLA dual-tier association (global fit,
+    local fallback where it fails) on a thin global + dense local map."""
+    from mmloam_tpu.estimator import factors
+
+    cfg, vm, world, rng = _build(seed=2, n_scans=2)  # thin-ish global map
+    vm_l = vx.empty_map(cfg.local_map)
+    az = np.linspace(-np.pi, np.pi, 720, endpoint=False)
+    elevs = np.deg2rad([-12.0, -4.0, 4.0, 12.0])
+    A, E = np.meshgrid(az, elevs)
+    dirs = np.stack([np.cos(E) * np.cos(A), np.cos(E) * np.sin(A),
+                     np.sin(E)], -1).reshape(-1, 3)
+    for i in range(3):
+        o = np.array([0.3 * i, 0.1 * i, 0.0])
+        r = world.raycast(o, dirs)
+        ok = np.isfinite(r)
+        pts = o + dirs * np.where(ok, r, 0.0)[:, None]
+        vm_l = vx.insert(vm_l, jnp.asarray(pts, jnp.float32),
+                         jnp.asarray(ok), cfg.local_map)
+
+    pw, mask = _queries(world, rng, M=256)
+    thres = 1.0
+
+    mu, vec, valid, used_l = pallas_assoc.assoc_dual_batched(
+        vm.cells[None], vm_l.cells[None], pw[None], mask[None],
+        jnp.float32(thres), cfg.map, cfg.local_map, mode=0,
+        scatter_ratio=cfg.solver.plane_scatter_ratio, interpret=True)
+    mu, vec, valid, used_l = mu[0], vec[0], valid[0], used_l[0]
+
+    # XLA reference: the factors-level dual-tier path at identity pose
+    x6 = jnp.zeros(6, jnp.float32)
+    I3, z3 = jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32)
+    pt, omega, nv = factors.associate_planes(
+        x6, pw, mask, vm, I3, z3, cfg, thres, 0.0, vm_local=vm_l)
+
+    v_ref = np.asarray(pt.valid)
+    v_k = np.asarray(valid)
+    agree = (v_ref == v_k).mean()
+    assert agree > 0.97, agree
+    assert np.asarray(used_l).sum() > 5, "local tier should rescue some"
+    both = v_ref & v_k
+    assert both.sum() > 50
+    # fits agree where both accept: projected target via mu/vec
+    dist = -np.sum(np.asarray(vec) * np.asarray(mu), axis=-1)
+    proj_k = np.asarray(pw) - dist[:, None] * np.asarray(vec)
+    np.testing.assert_allclose(proj_k[both], np.asarray(pt.proj)[both],
+                               rtol=1e-3, atol=2e-4)
