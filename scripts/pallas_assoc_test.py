@@ -9,6 +9,7 @@ directly and under vmap (the pipeline calls it inside vmap(step_core)),
 then times both at (B=16, M=2048).
 """
 
+import functools
 import os
 import sys
 import time
@@ -65,7 +66,7 @@ def queries(world, rng, M, origin):
     return jnp.asarray(pw, jnp.float32), jnp.asarray(ok)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def xla_plane(cells, pw, mask, *, cfg):
     vm = vx.VoxelMap(cells=cells)
     dx, dy, dz, d2, ok = vx.query_candidates(vm, pw, mask, cfg.map)
@@ -114,6 +115,18 @@ def main():
                                rtol=1e-6, atol=1e-7)
     print("vmap == direct batch OK")
 
+    # dual-tier correctness (interpret + TPU): empty local map rescues
+    # nothing, so merged valids must equal the global-only fit gates
+    vm_l = vx.empty_map(cfg.local_map)
+    cells_lb = jnp.broadcast_to(vm_l.cells, (B,) + vm_l.cells.shape)
+    mu_d, vec_d, valid_d, used_l = pallas_assoc.assoc_dual_batched(
+        cells_b, cells_lb, pw_b, mask_b, jnp.float32(1.0), cfg.map,
+        cfg.local_map, mode=0,
+        scatter_ratio=cfg.solver.plane_scatter_ratio,
+        interpret=INTERPRET or None)
+    assert not bool(np.asarray(used_l).any()), "empty local map rescued?"
+    print(f"dual-tier OK ({int(np.asarray(valid_d).sum())} valid fits)")
+
     if INTERPRET:
         print("interpret mode: skipping timing")
         return
@@ -138,6 +151,12 @@ def main():
     dk = timed(k_fn, "pallas kernel")
     dx_ = timed(x_fn, "xla path    ")
     print(f"speedup: {dx_ / dk:.2f}x")
+
+    d_fn = jax.jit(lambda p, m: pallas_assoc.assoc_dual_batched(
+        cells_b, cells_lb, p, m, jnp.float32(1.0), cfg.map, cfg.local_map,
+        mode=0, scatter_ratio=cfg.solver.plane_scatter_ratio))
+    dd = timed(d_fn, "dual kernel ")
+    print(f"dual vs 2x single: {2.0 * dk / dd:.2f}x")
 
 
 if __name__ == "__main__":
