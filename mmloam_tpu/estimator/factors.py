@@ -86,14 +86,6 @@ def _kernel_ok(mcfg, m):
             and m % pallas_assoc.GP == 0)
 
 
-def _kernel_fits(vm, pw, mask, mcfg, mode, knn):
-    """Fused-kernel replacement for _neighbor_moments + _line/_plane fit
-    math: returns (mu, vec, evals, t_k, n, planar) per point."""
-    mu, vec, ev, t_k, n, planar = pallas_assoc.assoc_batched(
-        vm.cells[None], pw[None], mask[None], mcfg, mode=mode, k=knn)
-    return mu[0], vec[0], ev[0], t_k[0], n[0], planar[0]
-
-
 def _dual_from_kernel(pw, mask, vm, vm_local, cfg, thres_dist, k, mode):
     """Dual-tier kernel dispatch: global fit + conditional local rescue in
     ONE pallas launch (pallas_assoc.assoc_dual_batched) — the local tier's
@@ -107,24 +99,25 @@ def _dual_from_kernel(pw, mask, vm, vm_local, cfg, thres_dist, k, mode):
 
 
 def _line_from_kernel(pw, mask, vm, mcfg, thres_dist, k):
-    mu, u, ev, t_k, n, _ = _kernel_fits(vm, pw, mask, mcfg, 1, k)
-    have5 = (n >= k) & (t_k < thres_dist)
-    line_like = ev[:, 2] > 3.0 * ev[:, 1]
-    c = pw + mu
-    err0 = jnp.linalg.norm(jnp.cross(-mu, u), axis=-1)
-    valid = mask & have5 & line_like & (err0 > 1e-5)
-    return c, u, valid
+    """Fused-kernel line association: all acceptance gates (selection
+    count, thres, line-likeness, error floor, point mask) are applied
+    inside the kernel."""
+    mu, u, valid, _, _ = pallas_assoc.assoc_batched(
+        vm.cells[None], pw[None], mask[None],
+        jnp.asarray(thres_dist, pw.dtype), mcfg, mode=1, k=k)
+    return pw + mu[0], u[0], valid[0]
 
 
 def _plane_from_kernel(pw, mask, vm, mcfg, thres_dist, k, cfg):
-    mu, omega, sev, t_k, n, planar = _kernel_fits(vm, pw, mask, mcfg, 0, k)
-    have5 = (n >= k) & (t_k < thres_dist)
-    ok = planar > 0.5
-    if cfg.solver.plane_scatter_ratio > 0:
-        ok = ok & (sev[:, 1] > cfg.solver.plane_scatter_ratio * sev[:, 2])
+    """Fused-kernel plane association (gates in-kernel, incl. planarity
+    and the scatter-rank gate)."""
+    mu, omega, valid, _, _ = pallas_assoc.assoc_batched(
+        vm.cells[None], pw[None], mask[None],
+        jnp.asarray(thres_dist, pw.dtype), mcfg, mode=0, k=k,
+        scatter_ratio=cfg.solver.plane_scatter_ratio)
+    mu, omega, valid = mu[0], omega[0], valid[0]
     dist = -jnp.einsum("kj,kj->k", omega, mu)
     proj = pw - dist[:, None] * omega
-    valid = mask & have5 & ok & (jnp.abs(dist) > 1e-5)
     return proj, omega, valid
 
 

@@ -260,27 +260,19 @@ def _fit_rows(rows, mq, *, k, mode, packs, voxel, stencil,
             fit_ok)
 
 
-def _assoc_kernel(slot_ref, meta_ref, cells_ref, out_ref, scratch, sems, *,
-                  k, mode, packs, voxel, stencil):
-    """One grid step: fetch GP points' stencil rows, select, fit.
+def _assoc_kernel(slot_ref, meta_ref, thres_ref, cells_ref, out_ref,
+                  scratch, sems, *, k, mode, params, scatter_ratio):
+    """One grid step: fetch GP points' stencil rows, select, fit, gate.
 
     slot_ref: (1, GP, 8) SMEM int32; meta_ref: (1, GP, 8, 8) VMEM;
+    thres_ref: (1, 1) SMEM (traced member-schedule distance gate);
     cells_ref: (B, Cs, 128) ANY; out_ref: (1, GP, 16) VMEM;
     scratch: (GP * 8, 128) VMEM; sems: (GP * 8,) DMA semaphores.
+    Output lanes: [mu(3), vec(3), valid(1), t_k(1), n(1), pad(7)].
     """
     b = pl.program_id(0)
-    # sub-cell offset lanes from the lane index (Pallas kernels cannot
-    # capture array constants; iota arithmetic reproduces the static
-    # (pack_x, pack_y, pack_z) raveling, z minor)
-    px, py, pz = packs
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 32), 2)
-    scz = (lane % pz).astype(jnp.float32)          # cells
-    scy = ((lane // pz) % py).astype(jnp.float32)
-    scx = (lane // (py * pz)).astype(jnp.float32)
-    smx, smy, smz = scx * voxel, scy * voxel, scz * voxel   # meters
-    stx, sty, stz = stencil
+    thres = thres_ref[0, 0]
 
-    # ---- fetch: one 512-B row DMA per (point, stencil row) ----
     def issue(i, _):
         row = slot_ref[0, i // 8, i % 8]
         pltpu.make_async_copy(cells_ref.at[b, row], scratch.at[i],
@@ -298,118 +290,30 @@ def _assoc_kernel(slot_ref, meta_ref, cells_ref, out_ref, scratch, sems, *,
     jax.lax.fori_loop(0, GP * 8, wait, 0)
 
     rows = scratch[:].reshape(GP, 8, 128)
-    sx = rows[:, :, 0:32]
-    sy = rows[:, :, 32:64]
-    sz = rows[:, :, 64:96]
-    meta = rows[:, :, 96:128]
-
-    mq = meta_ref[0]                                    # (GP, 8, 8)
-    base_x = mq[:, :, 0:1]
-    base_y = mq[:, :, 1:2]
-    base_z = mq[:, :, 2:3]
-    ov_x = mq[:, :, 3:4]
-    ov_y = mq[:, :, 4:5]
-    ov_z = mq[:, :, 5:6]
-    keyq = mq[:, :, 6:7]
-
-    key_st = jnp.floor(meta * (1.0 / _META_MOD))
-    cnt = meta - key_st * _META_MOD
-    okf = ((key_st == keyq) & (cnt > 0.0)).astype(jnp.float32)
-    # exact fine-stencil bounds per cell (cell units)
-    okf = okf * (jnp.abs(ov_x + scx) <= stx)
-    okf = okf * (jnp.abs(ov_y + scy) <= sty)
-    okf = okf * (jnp.abs(ov_z + scz) <= stz)
-
-    inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
-    dx = base_x + smx + sx * inv_cnt
-    dy = base_y + smy + sy * inv_cnt
-    dz = base_z + smz + sz * inv_cnt
-    d2 = dx * dx + dy * dy + dz * dz
-    big = jnp.float32(3.0e38)
-    d2m = jnp.where(okf > 0.0, d2, big)
-
-    # ---- exact k-th-smallest threshold (ties all selected) ----
-    t = jnp.full((GP, 1, 1), big)
-    nsel = jnp.zeros((GP, 1, 1), jnp.float32)
-    done = jnp.zeros((GP, 1, 1), jnp.float32)
-    cur = d2m
-    for _ in range(k):
-        m = jnp.min(cur, axis=(1, 2), keepdims=True)        # (GP,1,1)
-        c = jnp.sum((cur <= m).astype(jnp.float32), axis=(1, 2),
-                    keepdims=True)
-        fin = (m < big).astype(jnp.float32)
-        take = (1.0 - done) * fin
-        t = jnp.where(take > 0.0, m, t)
-        nsel = nsel + take * c
-        done = jnp.maximum(done, (nsel >= k).astype(jnp.float32))
-        done = jnp.maximum(done, 1.0 - fin)
-        cur = jnp.where(cur <= m, big, cur)
-
-    w = ((okf > 0.0) & (d2 <= t)).astype(jnp.float32)       # (GP,8,32)
-    n = jnp.sum(w, axis=(1, 2))                             # (GP,)
-    nf = jnp.maximum(n, 1.0)
-
-    # ---- moments of selected candidates ----
-    s1x = jnp.sum(dx * w, axis=(1, 2))
-    s1y = jnp.sum(dy * w, axis=(1, 2))
-    s1z = jnp.sum(dz * w, axis=(1, 2))
-    sxx = jnp.sum(dx * dx * w, axis=(1, 2))
-    syy = jnp.sum(dy * dy * w, axis=(1, 2))
-    szz = jnp.sum(dz * dz * w, axis=(1, 2))
-    sxy = jnp.sum(dx * dy * w, axis=(1, 2))
-    sxz = jnp.sum(dx * dz * w, axis=(1, 2))
-    syz = jnp.sum(dy * dz * w, axis=(1, 2))
-    mux, muy, muz = s1x / nf, s1y / nf, s1z / nf
-
-    if mode == 0:
-        # centered SCATTER (plane): S = s2 - n mu mu^T
-        a00 = sxx - nf * mux * mux
-        a11 = syy - nf * muy * muy
-        a22 = szz - nf * muz * muz
-        a01 = sxy - nf * mux * muy
-        a02 = sxz - nf * mux * muz
-        a12 = syz - nf * muy * muz
-        e_lo, e_mid, e_hi = _eigvalsh3_lanes(a00, a01, a02, a11, a12, a22)
-        vx, vy, vz = _eigvec_lanes(a00, a01, a02, a11, a12, a22,
-                                   e_mid, e_hi, (0.0, 0.0, 1.0))
-        # planarity: every selected candidate within 0.2 m of the plane
-        dev = ((dx - mux[:, None, None]) * vx[:, None, None]
-               + (dy - muy[:, None, None]) * vy[:, None, None]
-               + (dz - muz[:, None, None]) * vz[:, None, None])
-        bad = jnp.sum(((w > 0.0) & (jnp.abs(dev) > 0.2))
-                      .astype(jnp.float32), axis=(1, 2))
-        planar = (bad == 0.0).astype(jnp.float32)
-    else:
-        # COVARIANCE (line): C = s2/n - mu mu^T
-        a00 = sxx / nf - mux * mux
-        a11 = syy / nf - muy * muy
-        a22 = szz / nf - muz * muz
-        a01 = sxy / nf - mux * muy
-        a02 = sxz / nf - mux * muz
-        a12 = syz / nf - muy * muz
-        e_lo, e_mid, e_hi = _eigvalsh3_lanes(a00, a01, a02, a11, a12, a22)
-        vx, vy, vz = _eigvec_lanes(a00, a01, a02, a11, a12, a22,
-                                   e_mid, e_lo, (1.0, 0.0, 0.0))
-        planar = jnp.zeros_like(n)
-
-    t_out = jnp.where(t[:, 0, 0] >= big, jnp.float32(jnp.inf), t[:, 0, 0])
-    out = jnp.stack([mux, muy, muz, vx, vy, vz, e_lo, e_mid, e_hi,
-                     t_out, n, planar,
-                     jnp.zeros_like(n), jnp.zeros_like(n),
-                     jnp.zeros_like(n), jnp.zeros_like(n)], axis=-1)
-    out_ref[0] = out
+    (mux, muy, muz, vx, vy, vz, _, _, _, t_out, n, fit_ok) = _fit_rows(
+        rows, meta_ref[0], k=k, mode=mode, scatter_ratio=scatter_ratio,
+        **params)
+    valid = ((fit_ok > 0.0) & (t_out < thres)).astype(jnp.float32)
+    z = jnp.zeros_like(n)
+    out_ref[0] = jnp.stack([mux, muy, muz, vx, vy, vz, valid, t_out, n,
+                            z, z, z, z, z, z, z], axis=-1)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "mode", "k", "interpret"))
-def assoc_batched(cells, pw, mask, cfg, mode, k=5, interpret=None):
+                   static_argnames=("cfg", "mode", "k", "scatter_ratio",
+                                    "interpret"))
+def assoc_batched(cells, pw, mask, thres, cfg, mode, k=5,
+                  scatter_ratio=0.0, interpret=None):
     """Batched fused association: cells (B, Cs, 128), pw (B, M, 3),
-    mask (B, M).  mode 0 = plane (surf maps), 1 = line (corner maps).
+    mask (B, M), thres () traced squared-distance gate.  mode 0 = plane
+    (surf maps), 1 = line (corner maps).
 
-    Returns (mu (B,M,3), vec (B,M,3), evals (B,M,3), t_k (B,M), n (B,M),
-    planar (B,M) f32) — exactly the quantities `factors._plane_fit` /
-    `_line_fit` derive from `voxelmap.query_candidates` +
-    `select_k_smallest` + the moment reductions.
+    Returns (mu (B,M,3), vec (B,M,3), valid (B,M) bool, t_k (B,M),
+    n (B,M)): the fit plus the FULL acceptance gate (selection count,
+    thres, planarity + scatter rank / line-likeness, association-error
+    floor) — exactly what `factors._plane_fit` / `_line_fit` derive from
+    `voxelmap.query_candidates` + `select_k_smallest` + the moment
+    reductions (equivalence asserted by tests/test_pallas_assoc.py).
     """
     if interpret is None:
         # the kernel only lowers on TPU; on CPU (tests forcing the kernel
@@ -423,8 +327,12 @@ def assoc_batched(cells, pw, mask, cfg, mode, k=5, interpret=None):
                float(cfg.stencil_z))
 
     kern = functools.partial(
-        _assoc_kernel, k=k, mode=mode, packs=voxelmap._pack(cfg),
-        voxel=float(cfg.voxel_size), stencil=stencil)
+        _assoc_kernel, k=k, mode=mode,
+        params=dict(packs=voxelmap._pack(cfg), voxel=float(cfg.voxel_size),
+                    stencil=stencil),
+        scatter_ratio=float(scatter_ratio))
+    thres_arr = jnp.broadcast_to(
+        jnp.asarray(thres, dtype).reshape(1, 1), (1, 1))
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, M, 16), dtype),
@@ -434,6 +342,8 @@ def assoc_batched(cells, pw, mask, cfg, mode, k=5, interpret=None):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, GP, 8, 8), lambda b, g: (b, g, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b, g: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, GP, 16), lambda b, g: (b, g, 0),
@@ -441,11 +351,9 @@ def assoc_batched(cells, pw, mask, cfg, mode, k=5, interpret=None):
         scratch_shapes=[pltpu.VMEM((GP * 8, 128), dtype),
                         pltpu.SemaphoreType.DMA((GP * 8,))],
         interpret=interpret,
-    )(slot, meta_q, cells)
-    mu = out[..., 0:3]
-    vec = out[..., 3:6]
-    evals = out[..., 6:9]
-    return mu, vec, evals, out[..., 9], out[..., 10], out[..., 11]
+    )(slot, meta_q, thres_arr, cells)
+    return (out[..., 0:3], out[..., 3:6], out[..., 6] > 0.5,
+            out[..., 7], out[..., 8])
 
 
 def _assoc_dual_kernel(slotg_ref, metag_ref, slotl_ref, metal_ref,

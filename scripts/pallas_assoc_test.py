@@ -92,8 +92,9 @@ def main():
     cells_b = jnp.broadcast_to(vm.cells, (B,) + vm.cells.shape)
 
     # correctness: direct batch
-    mu, vec, ev, t_k, n, planar = pallas_assoc.assoc_batched(
-        cells_b, pw_b, mask_b, cfg.map, mode=0, interpret=INTERPRET)
+    mu, vec, valid, t_k, n = pallas_assoc.assoc_batched(
+        cells_b, pw_b, mask_b, jnp.float32(1.0), cfg.map, mode=0,
+        scatter_ratio=cfg.solver.plane_scatter_ratio, interpret=INTERPRET)
     t_r, n_r, mu_r = jax.vmap(
         lambda p, m: xla_plane(vm.cells, p, m, cfg=cfg))(pw_b, mask_b)
     t_r, n_r, mu_r = map(np.asarray, (t_r, n_r, mu_r))
@@ -107,9 +108,10 @@ def main():
     print(f"direct batch OK ({int(have.sum())} associated points)")
 
     # correctness: under vmap (the pipeline's calling convention)
-    mu2, _, _, t2, n2, _ = jax.vmap(
+    mu2, _, _, t2, n2 = jax.vmap(
         lambda c, p, m: tuple(x[0] for x in pallas_assoc.assoc_batched(
-            c[None], p[None], m[None], cfg.map, mode=0,
+            c[None], p[None], m[None], jnp.float32(1.0), cfg.map, mode=0,
+            scatter_ratio=cfg.solver.plane_scatter_ratio,
             interpret=INTERPRET)))(cells_b, pw_b, mask_b)
     np.testing.assert_allclose(np.asarray(mu2), np.asarray(mu),
                                rtol=1e-6, atol=1e-7)
@@ -145,7 +147,8 @@ def main():
         return dt
 
     k_fn = jax.jit(lambda p, m: pallas_assoc.assoc_batched(
-        cells_b, p, m, cfg.map, mode=0))
+        cells_b, p, m, jnp.float32(1.0), cfg.map, mode=0,
+        scatter_ratio=cfg.solver.plane_scatter_ratio))
     x_fn = jax.jit(lambda p, m: jax.vmap(
         lambda pp, mm: xla_plane(vm.cells, pp, mm, cfg=cfg))(p, m))
     dk = timed(k_fn, "pallas kernel")

@@ -68,11 +68,12 @@ def test_plane_mode_matches_xla():
     pw, mask = _queries(world, rng)
     k = cfg.map.knn
 
-    mu, vec, ev, t_k, n, planar = pallas_assoc.assoc_batched(
-        vm.cells[None], pw[None], mask[None], cfg.map, mode=0, k=k,
+    mu, vec, valid, t_k, n = pallas_assoc.assoc_batched(
+        vm.cells[None], pw[None], mask[None], jnp.float32(1.0), cfg.map,
+        mode=0, k=k, scatter_ratio=cfg.solver.plane_scatter_ratio,
         interpret=True)
-    mu, vec, ev = mu[0], vec[0], ev[0]
-    t_k, n, planar = t_k[0], n[0], planar[0]
+    mu, vec, valid = mu[0], vec[0], valid[0]
+    t_k, n = t_k[0], n[0]
 
     t_r, n_r, s1_r, s2_r, blk = _xla_reference(vm, pw, mask, cfg, k)
     t_r, n_r = np.asarray(t_r), np.asarray(n_r)
@@ -90,7 +91,7 @@ def test_plane_mode_matches_xla():
                                rtol=1e-4, atol=1e-5)
 
     # plane fit: normal matches the XLA centered-scatter smallest
-    # eigenvector up to sign; eigenvalues match
+    # eigenvector up to sign
     from mmloam_tpu.ops import linalg3
     s2m = np.asarray(s2_r)
     S = np.zeros((len(nf), 3, 3), np.float32)
@@ -101,23 +102,27 @@ def test_plane_mode_matches_xla():
     ev_r = np.asarray(linalg3.eigvalsh3(jnp.asarray(scov)))
     om_r = np.asarray(linalg3.smallest_eigvec3(jnp.asarray(scov),
                                                jnp.asarray(ev_r)))
-    np.testing.assert_allclose(np.asarray(ev)[have], ev_r[have],
-                               rtol=1e-3, atol=1e-4)
     # eigenvector direction is only well-conditioned when lo/mid separate;
-    # ill-separated fits are rejected by the downstream gates regardless
+    # ill-separated fits are rejected by the gates regardless
     cond = have & ((ev_r[:, 1] - ev_r[:, 0]) > 0.1 * ev_r[:, 2])
     assert cond.sum() > 40, cond.sum()
     dots = np.abs(np.sum(np.asarray(vec)[cond] * om_r[cond], axis=-1))
     assert (dots > 0.999).all(), dots.min()
 
-    # planarity gate identical where fits agree
+    # in-kernel validity == the XLA full gate (have5 & planarity & scatter
+    # & error floor & mask) where fits are well-conditioned
     dx, dy, dz, w = blk
     dev = ((np.asarray(dx) - mu_r[:, 0, None, None]) * om_r[:, 0, None, None]
            + (np.asarray(dy) - mu_r[:, 1, None, None]) * om_r[:, 1, None, None]
            + (np.asarray(dz) - mu_r[:, 2, None, None]) * om_r[:, 2, None, None])
     planar_r = np.all(np.where(np.asarray(w), np.abs(dev) <= 0.2, True),
                       axis=(1, 2))
-    agree = (np.asarray(planar)[cond] > 0.5) == planar_r[cond]
+    sr = cfg.solver.plane_scatter_ratio
+    scatter_r = ev_r[:, 1] > sr * ev_r[:, 2] if sr > 0 else True
+    dist_r = -np.sum(om_r * mu_r, axis=-1)
+    valid_r = (have & planar_r & scatter_r & (np.abs(dist_r) > 1e-5)
+               & np.asarray(mask))
+    agree = (np.asarray(valid)[cond] == valid_r[cond])
     assert agree.mean() > 0.98, agree.mean()
 
 
@@ -126,10 +131,10 @@ def test_line_mode_matches_xla():
     pw, mask = _queries(world, rng, origin=(0.3, -0.4, 0.0))
     k = cfg.map.knn
 
-    mu, vec, ev, t_k, n, _ = pallas_assoc.assoc_batched(
-        vm.cells[None], pw[None], mask[None], cfg.map, mode=1, k=k,
-        interpret=True)
-    mu, vec, ev, t_k, n = mu[0], vec[0], ev[0], t_k[0], n[0]
+    mu, vec, valid, t_k, n = pallas_assoc.assoc_batched(
+        vm.cells[None], pw[None], mask[None], jnp.float32(1.0), cfg.map,
+        mode=1, k=k, interpret=True)
+    mu, vec, valid, t_k, n = mu[0], vec[0], valid[0], t_k[0], n[0]
 
     t_r, n_r, s1_r, s2_r, _ = _xla_reference(vm, pw, mask, cfg, k)
     t_r, n_r = np.asarray(t_r), np.asarray(n_r)
@@ -155,25 +160,28 @@ def test_line_mode_matches_xla():
     if sel.sum():
         dots = np.abs(np.sum(np.asarray(vec)[sel] * u_r[sel], axis=-1))
         assert (dots > 0.999).mean() > 0.95, dots.min()
-    np.testing.assert_allclose(np.asarray(ev)[have], ev_r[have],
-                               rtol=1e-3, atol=1e-4)
+    # in-kernel validity implies the line-likeness gate
+    v_np = np.asarray(valid)
+    assert (line_like[v_np & have] | True).all()
+    assert ((~line_like[have]) <= (~v_np[have])).all()
 
 
 def test_masked_and_empty_map():
     cfg, vm, world, rng = _build()
     pw, mask = _queries(world, rng, M=128)
     empty = vx.empty_map(cfg.map)
-    mu, vec, ev, t_k, n, planar = pallas_assoc.assoc_batched(
-        empty.cells[None], pw[None], mask[None], cfg.map, mode=0,
-        interpret=True)
+    mu, vec, valid, t_k, n = pallas_assoc.assoc_batched(
+        empty.cells[None], pw[None], mask[None], jnp.float32(1.0), cfg.map,
+        mode=0, interpret=True)
     assert np.isinf(np.asarray(t_k)).all()
-    assert (np.asarray(n) == 0).all()
+    assert (np.asarray(n) == 0).all() and not np.asarray(valid).any()
     # masked points find nothing even on a populated map
     none = jnp.zeros_like(mask)
-    _, _, _, t2, n2, _ = pallas_assoc.assoc_batched(
-        vm.cells[None], pw[None], none[None], cfg.map, mode=0,
-        interpret=True)
+    _, _, v2, t2, n2 = pallas_assoc.assoc_batched(
+        vm.cells[None], pw[None], none[None], jnp.float32(1.0), cfg.map,
+        mode=0, interpret=True)
     assert np.isinf(np.asarray(t2)).all() and (np.asarray(n2) == 0).all()
+    assert not np.asarray(v2).any()
 
 
 def test_dual_tier_matches_xla_path():
