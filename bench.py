@@ -15,6 +15,7 @@ execution cache can serve memoized results; sequences vary per batch lane.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -24,6 +25,34 @@ import jax.numpy as jnp
 
 
 BASELINE_SCANS_PER_SEC = 200.0
+
+
+def _require_device(timeout_s=180):
+    """Fail FAST with one structured JSON line if the TPU tunnel is down.
+
+    Device enumeration on the tunneled backend blocks INDEFINITELY in
+    native code when the tunnel is dead (a SIGALRM handler never runs —
+    the GIL is held), so the probe runs in a SUBPROCESS with a hard
+    timeout; on failure one structured JSON line is printed so the
+    harness records a diagnosable result instead of hanging.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        ok = r.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        print(json.dumps({
+            "metric": "flagship_replay_throughput", "value": 0.0,
+            "unit": "scans/sec/chip", "vs_baseline": 0.0,
+            "error": f"device enumeration failed/timed out ({timeout_s}s):"
+                     " TPU tunnel unreachable"}))
+        sys.stdout.flush()
+        sys.exit(3)
 
 
 def build_inputs(batch, n_scans, cfg, seed0):
@@ -53,6 +82,7 @@ def main(batch=16, n_scans=30, seed0=None):
     from mmloam_tpu import replay
     from mmloam_tpu.config import LIOConfig
 
+    _require_device()
     cfg = LIOConfig()
 
     # fresh range-noise seeds per invocation so no execution-cache layer
