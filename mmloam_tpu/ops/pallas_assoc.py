@@ -46,6 +46,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import custom_batching
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -92,10 +93,33 @@ def prepare_queries(pw, mask, cfg):
     return slot.astype(jnp.int32), meta_q
 
 
+def _cos_third_acos(r):
+    """t = cos(acos(r)/3) for r in [-1, 1], trig-free.
+
+    Mosaic's TensorCore lowering has no acos/cos primitives, so the
+    eigenvalue angle is recovered as the root of the triple-angle cubic
+    4t^3 - 3t = r on [1/2, 1] (unique there; at r = -1 it degenerates to
+    the double root of (t+1)(2t-1)^2).  Seed 0.5 + 0.5*sqrt((r+1)/2) is
+    exact at both endpoints and within 0.013 everywhere; four Newton
+    steps polish it to f32 round-off in the simple-root region and to
+    <1% relative in the vanishing-discriminant limit (where the
+    eigenvalue separation itself -> 0, so the absolute error does too).
+    """
+    t = 0.5 + 0.5 * jnp.sqrt(jnp.maximum(0.5 * (r + 1.0), 0.0))
+    for _ in range(4):
+        g = (4.0 * t * t - 3.0) * t - r
+        gp = 12.0 * t * t - 3.0
+        t = t - g / jnp.maximum(gp, 1e-6)
+        t = jnp.clip(t, 0.5, 1.0)
+    return t
+
+
 def _eigvalsh3_lanes(a00, a01, a02, a11, a12, a22):
     """Closed-form ascending eigenvalues of symmetric 3x3, lane math.
 
-    Port of linalg3.eigvalsh3 operating on (...,) component arrays.
+    Port of linalg3.eigvalsh3 operating on (...,) component arrays, with
+    the trig triple-angle evaluation replaced by `_cos_third_acos` (no
+    acos/cos in the Mosaic TC lowering).
     """
     q = (a00 + a11 + a22) / 3.0
     b00, b11, b22 = a00 - q, a11 - q, a22 - q
@@ -108,9 +132,12 @@ def _eigvalsh3_lanes(a00, a01, a02, a11, a12, a22):
             - a01 * (a01 * b22 - a12 * a02)
             + a02 * (a01 * a12 - b11 * a02))
     r = jnp.clip(detb * 0.5 * pin * pin * pin, -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
-    e_hi = q + 2.0 * p * jnp.cos(phi)
-    e_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    # cos(phi), sin(phi) with phi = acos(r)/3 in [0, pi/3];
+    # cos(phi + 2pi/3) = -cos(phi)/2 - (sqrt(3)/2) sin(phi)
+    ct = _cos_third_acos(r)
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    e_hi = q + 2.0 * p * ct
+    e_lo = q + 2.0 * p * (-0.5 * ct - 0.8660254037844386 * st)
     e_mid = 3.0 * q - e_hi - e_lo
     diag = p2 < _EPS
     return (jnp.where(diag, q, e_lo), jnp.where(diag, q, e_mid),
@@ -260,18 +287,23 @@ def _fit_rows(rows, mq, *, k, mode, packs, voxel, stencil,
             fit_ok)
 
 
-def _assoc_kernel(slot_ref, meta_ref, thres_ref, cells_ref, out_ref,
-                  scratch, sems, *, k, mode, params, scatter_ratio):
+def _assoc_kernel(slot_ref, meta_ref, thres_ref, bmap_ref, cells_ref,
+                  out_ref, scratch, sems, *, k, mode, params, scatter_ratio):
     """One grid step: fetch GP points' stencil rows, select, fit, gate.
 
     slot_ref: (1, GP, 8) SMEM int32; meta_ref: (1, GP, 8, 8) VMEM;
-    thres_ref: (1, 1) SMEM (traced member-schedule distance gate);
-    cells_ref: (B, Cs, 128) ANY; out_ref: (1, GP, 16) VMEM;
-    scratch: (GP * 8, 128) VMEM; sems: (GP * 8,) DMA semaphores.
+    thres_ref: (1, 1) SMEM (traced member-schedule distance gate, per
+    batch element); bmap_ref: (1, 1) SMEM int32 — which cells batch row
+    this grid step reads (identity when the maps are batched 1:1 with the
+    queries; constant when one map serves several query batches — the
+    custom_vmap fold, see `_fold_cells`); cells_ref: (Bc, Cs, 128) ANY;
+    out_ref: (1, GP, 16) VMEM; scratch: (GP * 8, 128) VMEM; sems:
+    (GP * 8,) DMA semaphores.
     Output lanes: [mu(3), vec(3), valid(1), t_k(1), n(1), pad(7)].
     """
-    b = pl.program_id(0)
-    thres = thres_ref[0, 0]
+    bq = pl.program_id(0)
+    b = bmap_ref[bq]
+    thres = thres_ref[bq]
 
     def issue(i, _):
         row = slot_ref[0, i // 8, i % 8]
@@ -299,6 +331,92 @@ def _assoc_kernel(slot_ref, meta_ref, thres_ref, cells_ref, out_ref,
                             z, z, z, z, z, z, z], axis=-1)
 
 
+# --------------------------------------------------------------------------
+# vmap folding: pallas_call's ANY-memory map operands cannot be batched by
+# the generic vmap rule (the TPU lowering requires full-array blocks with a
+# trivial index map for ANY memrefs), so the kernels carry a NATIVE batch
+# grid axis and a custom_vmap rule folds any outer vmap axes into it.  The
+# `bmap` indirection (grid batch -> cells batch row) lets an UNBATCHED map
+# serve batched queries without materializing a broadcast of the (64 MB)
+# cells array.
+# --------------------------------------------------------------------------
+
+def _fold(x, batched, axis_size):
+    """Merge a custom_vmap outer axis (at dim 0 when `batched`) into the
+    kernel's leading batch axis."""
+    if batched:
+        return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+    return jnp.broadcast_to(x[None], (axis_size,) + x.shape).reshape(
+        (axis_size * x.shape[0],) + x.shape[1:])
+
+
+def _fold_cells(cells, cells_batched, bmap, bmap_batched, axis_size):
+    """Fold one (cells, bmap) pair: batched maps get per-lane row offsets;
+    an unbatched map is shared (bmap repeats, no data movement)."""
+    B0 = bmap.shape[-1]
+    bm = bmap if bmap_batched else jnp.broadcast_to(bmap[None],
+                                                    (axis_size, B0))
+    if cells_batched:
+        nc = cells.shape[1]
+        bm = bm + jnp.arange(axis_size, dtype=bm.dtype)[:, None] * nc
+        cells = cells.reshape((cells.shape[0] * nc,) + cells.shape[2:])
+    return cells, bm.reshape(-1)
+
+
+def _assoc_pallas(cells, slot, meta_q, thres, bmap, *, k, mode, params,
+                  scatter_ratio, interpret):
+    """Raw batched launch: cells (Bc, Cs, 128), slot (B, M, 8),
+    meta_q (B, M, 8, 8), thres (B,), bmap (B,) int32.  Returns (B, M, 16)."""
+    B, M = slot.shape[:2]
+    dtype = jnp.float32
+    kern = functools.partial(_assoc_kernel, k=k, mode=mode, params=params,
+                             scatter_ratio=scatter_ratio)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, M, 16), dtype),
+        grid=(B, M // GP),
+        in_specs=[
+            pl.BlockSpec((1, GP, 8), lambda b, g: (b, g, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, GP, 8, 8), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, GP, 16), lambda b, g: (b, g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((GP * 8, 128), dtype),
+                        pltpu.SemaphoreType.DMA((GP * 8,))],
+        interpret=interpret,
+    )(slot, meta_q, thres.astype(dtype).reshape(B),
+      bmap.astype(jnp.int32).reshape(B), cells)
+    return out
+
+
+def _single_call(k, mode, params, scatter_ratio, interpret):
+    """custom_vmap-wrapped single-tier launch (statics closed over)."""
+
+    @custom_batching.custom_vmap
+    def call(cells, slot, meta_q, thres, bmap):
+        return _assoc_pallas(cells, slot, meta_q, thres, bmap, k=k,
+                             mode=mode, params=params,
+                             scatter_ratio=scatter_ratio,
+                             interpret=interpret)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, cells, slot, meta_q, thres, bmap):
+        cb, sb, mb, tb, bb = in_batched
+        B0 = slot.shape[1] if sb else slot.shape[0]
+        cells2, bmap2 = _fold_cells(cells, cb, bmap, bb, axis_size)
+        out = call(cells2, _fold(slot, sb, axis_size),
+                   _fold(meta_q, mb, axis_size), _fold(thres, tb, axis_size),
+                   bmap2)
+        return out.reshape((axis_size, B0) + out.shape[1:]), True
+
+    return call
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "mode", "k", "scatter_ratio",
                                     "interpret"))
@@ -306,7 +424,8 @@ def assoc_batched(cells, pw, mask, thres, cfg, mode, k=5,
                   scatter_ratio=0.0, interpret=None):
     """Batched fused association: cells (B, Cs, 128), pw (B, M, 3),
     mask (B, M), thres () traced squared-distance gate.  mode 0 = plane
-    (surf maps), 1 = line (corner maps).
+    (surf maps), 1 = line (corner maps).  vmap-safe: outer vmap axes fold
+    into the kernel's batch grid (see `_single_call`).
 
     Returns (mu (B,M,3), vec (B,M,3), valid (B,M) bool, t_k (B,M),
     n (B,M)): the fit plus the FULL acceptance gate (selection count,
@@ -322,42 +441,23 @@ def assoc_batched(cells, pw, mask, thres, cfg, mode, k=5,
     B, M = pw.shape[:2]
     assert M % GP == 0, (M, GP)
     slot, meta_q = jax.vmap(lambda p, m: prepare_queries(p, m, cfg))(pw, mask)
-    dtype = jnp.float32
     stencil = (float(cfg.stencil_x), float(cfg.stencil_y),
                float(cfg.stencil_z))
-
-    kern = functools.partial(
-        _assoc_kernel, k=k, mode=mode,
-        params=dict(packs=voxelmap._pack(cfg), voxel=float(cfg.voxel_size),
-                    stencil=stencil),
-        scatter_ratio=float(scatter_ratio))
-    thres_arr = jnp.broadcast_to(
-        jnp.asarray(thres, dtype).reshape(1, 1), (1, 1))
-    out = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((B, M, 16), dtype),
-        grid=(B, M // GP),
-        in_specs=[
-            pl.BlockSpec((1, GP, 8), lambda b, g: (b, g, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, GP, 8, 8), lambda b, g: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b, g: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, GP, 16), lambda b, g: (b, g, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((GP * 8, 128), dtype),
-                        pltpu.SemaphoreType.DMA((GP * 8,))],
-        interpret=interpret,
-    )(slot, meta_q, thres_arr, cells)
+    call = _single_call(
+        k, mode,
+        dict(packs=voxelmap._pack(cfg), voxel=float(cfg.voxel_size),
+             stencil=stencil),
+        float(scatter_ratio), interpret)
+    out = call(cells, slot, meta_q,
+               jnp.broadcast_to(jnp.asarray(thres, jnp.float32), (B,)),
+               jnp.arange(B, dtype=jnp.int32))
     return (out[..., 0:3], out[..., 3:6], out[..., 6] > 0.5,
             out[..., 7], out[..., 8])
 
 
 def _assoc_dual_kernel(slotg_ref, metag_ref, slotl_ref, metal_ref,
-                       thres_ref, cells_g_ref, cells_l_ref, out_ref,
+                       thres_ref, bmapg_ref, bmapl_ref,
+                       cells_g_ref, cells_l_ref, out_ref,
                        scratch, sems, need_smem, *,
                        k, mode, params_g, params_l, scatter_ratio):
     """Dual-tier association: global fit, then PER-POINT CONDITIONAL
@@ -375,12 +475,14 @@ def _assoc_dual_kernel(slotg_ref, metag_ref, slotl_ref, metal_ref,
 
     out lanes per point: [mu(3), vec(3), valid(1), used_local(1), pad(8)].
     """
-    b = pl.program_id(0)
-    thres = thres_ref[0, 0]
+    bq = pl.program_id(0)
+    bg = bmapg_ref[bq]
+    bl = bmapl_ref[bq]
+    thres = thres_ref[bq]
 
     def issue_g(i, _):
         row = slotg_ref[0, i // 8, i % 8]
-        pltpu.make_async_copy(cells_g_ref.at[b, row], scratch.at[i],
+        pltpu.make_async_copy(cells_g_ref.at[bg, row], scratch.at[i],
                               sems.at[i]).start()
         return 0
 
@@ -388,7 +490,7 @@ def _assoc_dual_kernel(slotg_ref, metag_ref, slotl_ref, metal_ref,
 
     def wait_g(i, _):
         row = slotg_ref[0, i // 8, i % 8]
-        pltpu.make_async_copy(cells_g_ref.at[b, row], scratch.at[i],
+        pltpu.make_async_copy(cells_g_ref.at[bg, row], scratch.at[i],
                               sems.at[i]).wait()
         return 0
 
@@ -407,7 +509,7 @@ def _assoc_dual_kernel(slotg_ref, metag_ref, slotl_ref, metal_ref,
         @pl.when(need_smem[0, i // 8] > 0)
         def _():
             row = slotl_ref[0, i // 8, i % 8]
-            pltpu.make_async_copy(cells_l_ref.at[b, row], scratch.at[i],
+            pltpu.make_async_copy(cells_l_ref.at[bl, row], scratch.at[i],
                                   sems.at[i]).start()
         return 0
 
@@ -417,7 +519,7 @@ def _assoc_dual_kernel(slotg_ref, metag_ref, slotl_ref, metal_ref,
         @pl.when(need_smem[0, i // 8] > 0)
         def _():
             row = slotl_ref[0, i // 8, i % 8]
-            pltpu.make_async_copy(cells_l_ref.at[b, row], scratch.at[i],
+            pltpu.make_async_copy(cells_l_ref.at[bl, row], scratch.at[i],
                                   sems.at[i]).wait()
         return 0
 
@@ -444,6 +546,75 @@ def _assoc_dual_kernel(slotg_ref, metag_ref, slotl_ref, metal_ref,
                             z, z, z, z, z, z, z, z], axis=-1)
 
 
+def _dual_pallas(cells_g, cells_l, slot_g, meta_g, slot_l, meta_l, thres,
+                 bmap_g, bmap_l, *, k, mode, params_g, params_l,
+                 scatter_ratio, interpret):
+    """Raw batched dual-tier launch (shapes as in `_assoc_pallas`)."""
+    B, M = slot_g.shape[:2]
+    dtype = jnp.float32
+    kern = functools.partial(
+        _assoc_dual_kernel, k=k, mode=mode, params_g=params_g,
+        params_l=params_l, scatter_ratio=scatter_ratio)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, M, 16), dtype),
+        grid=(B, M // GP),
+        in_specs=[
+            pl.BlockSpec((1, GP, 8), lambda b, g: (b, g, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, GP, 8, 8), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GP, 8), lambda b, g: (b, g, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, GP, 8, 8), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, GP, 16), lambda b, g: (b, g, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((GP * 8, 128), dtype),
+                        pltpu.SemaphoreType.DMA((GP * 8,)),
+                        pltpu.SMEM((1, GP), jnp.int32)],
+        interpret=interpret,
+    )(slot_g, meta_g, slot_l, meta_l,
+      thres.astype(dtype).reshape(B),
+      bmap_g.astype(jnp.int32).reshape(B),
+      bmap_l.astype(jnp.int32).reshape(B), cells_g, cells_l)
+    return out
+
+
+def _dual_call(k, mode, params_g, params_l, scatter_ratio, interpret):
+    """custom_vmap-wrapped dual-tier launch (statics closed over)."""
+
+    @custom_batching.custom_vmap
+    def call(cells_g, cells_l, slot_g, meta_g, slot_l, meta_l, thres,
+             bmap_g, bmap_l):
+        return _dual_pallas(cells_g, cells_l, slot_g, meta_g, slot_l,
+                            meta_l, thres, bmap_g, bmap_l, k=k, mode=mode,
+                            params_g=params_g, params_l=params_l,
+                            scatter_ratio=scatter_ratio,
+                            interpret=interpret)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, cells_g, cells_l, slot_g, meta_g,
+              slot_l, meta_l, thres, bmap_g, bmap_l):
+        cgb, clb, sgb, mgb, slb, mlb, tb, bgb, blb = in_batched
+        B0 = slot_g.shape[1] if sgb else slot_g.shape[0]
+        cells_g2, bmap_g2 = _fold_cells(cells_g, cgb, bmap_g, bgb, axis_size)
+        cells_l2, bmap_l2 = _fold_cells(cells_l, clb, bmap_l, blb, axis_size)
+        out = call(cells_g2, cells_l2,
+                   _fold(slot_g, sgb, axis_size), _fold(meta_g, mgb, axis_size),
+                   _fold(slot_l, slb, axis_size), _fold(meta_l, mlb, axis_size),
+                   _fold(thres, tb, axis_size), bmap_g2, bmap_l2)
+        return out.reshape((axis_size, B0) + out.shape[1:]), True
+
+    return call
+
+
 @functools.partial(jax.jit, static_argnames=("cfg_g", "cfg_l", "mode", "k",
                                              "scatter_ratio", "interpret"))
 def assoc_dual_batched(cells_g, cells_l, pw, mask, thres, cfg_g, cfg_l,
@@ -452,6 +623,7 @@ def assoc_dual_batched(cells_g, cells_l, pw, mask, thres, cfg_g, cfg_l,
 
     cells_g/cells_l: (B, Cs, 128); pw: (B, M, 3); mask: (B, M); thres: ()
     traced squared-distance gate (the member-variable schedule value).
+    vmap-safe: outer vmap axes fold into the batch grid (`_dual_call`).
     Returns (mu (B,M,3), vec (B,M,3), valid (B,M) bool, used_local (B,M)
     bool) — the MERGED fit, all acceptance gates already applied
     (selection count, thres, planarity/scatter or line-likeness, error
@@ -466,42 +638,17 @@ def assoc_dual_batched(cells_g, cells_l, pw, mask, thres, cfg_g, cfg_l,
         pw, mask)
     slot_l, meta_l = jax.vmap(lambda p, m: prepare_queries(p, m, cfg_l))(
         pw, mask)
-    dtype = jnp.float32
 
     def params(cfg):
         return dict(packs=voxelmap._pack(cfg), voxel=float(cfg.voxel_size),
                     stencil=(float(cfg.stencil_x), float(cfg.stencil_y),
                              float(cfg.stencil_z)))
 
-    kern = functools.partial(
-        _assoc_dual_kernel, k=k, mode=mode, params_g=params(cfg_g),
-        params_l=params(cfg_l), scatter_ratio=float(scatter_ratio))
-    thres_arr = jnp.broadcast_to(
-        jnp.asarray(thres, dtype).reshape(1, 1), (1, 1))
-    out = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((B, M, 16), dtype),
-        grid=(B, M // GP),
-        in_specs=[
-            pl.BlockSpec((1, GP, 8), lambda b, g: (b, g, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, GP, 8, 8), lambda b, g: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GP, 8), lambda b, g: (b, g, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, GP, 8, 8), lambda b, g: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b, g: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, GP, 16), lambda b, g: (b, g, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((GP * 8, 128), dtype),
-                        pltpu.SemaphoreType.DMA((GP * 8,)),
-                        pltpu.SMEM((1, GP), jnp.int32)],
-        interpret=interpret,
-    )(slot_g, meta_g, slot_l, meta_l, thres_arr, cells_g, cells_l)
+    call = _dual_call(k, mode, params(cfg_g), params(cfg_l),
+                      float(scatter_ratio), interpret)
+    bmap = jnp.arange(B, dtype=jnp.int32)
+    out = call(cells_g, cells_l, slot_g, meta_g, slot_l, meta_l,
+               jnp.broadcast_to(jnp.asarray(thres, jnp.float32), (B,)),
+               bmap, bmap)
     return (out[..., 0:3], out[..., 3:6], out[..., 6] > 0.5,
             out[..., 7] > 0.5)

@@ -231,3 +231,59 @@ def test_dual_tier_matches_xla_path():
     proj_k = np.asarray(pw) - dist[:, None] * np.asarray(vec)
     np.testing.assert_allclose(proj_k[both], np.asarray(pt.proj)[both],
                                rtol=1e-3, atol=2e-4)
+
+
+def test_vmap_folds_into_batch_grid():
+    """vmap(assoc) == direct batched call: the custom_vmap rule folds the
+    outer axis into the kernel's native batch grid (the generic pallas
+    batching rule cannot block the ANY-memory cells operand on TPU)."""
+    cfg, vm, world, rng = _build()
+    k = cfg.map.knn
+    pw0, m0 = _queries(world, rng)
+    pw1, m1 = _queries(world, rng, origin=(0.2, 0.8, -0.05))
+    pw = jnp.stack([pw0, pw1])
+    mask = jnp.stack([m0, m1])
+    cells = jnp.stack([vm.cells, vm.cells * 1.0])
+    thres = jnp.asarray([1.0, 0.8], jnp.float32)
+
+    def one(c, p, m, t):
+        return pallas_assoc.assoc_batched(
+            c[None], p[None], m[None], t, cfg.map, mode=0, k=k,
+            scatter_ratio=cfg.solver.plane_scatter_ratio, interpret=True)
+
+    vm_out = jax.vmap(one)(cells, pw, mask, thres)
+    for b in range(2):
+        ref = one(cells[b], pw[b], mask[b], thres[b])
+        for a, r in zip(vm_out, ref):
+            np.testing.assert_allclose(np.asarray(a[b][0]), np.asarray(r[0]),
+                                       rtol=1e-6, atol=1e-6)
+
+
+def test_vmap_dual_with_shared_local_map():
+    """Dual-tier under vmap, with the LOCAL map UNBATCHED (shared across
+    lanes): exercises the bmap indirection (no broadcast of cells)."""
+    cfg, vm, world, rng = _build()
+    k = cfg.map.knn
+    lcfg = cfg.local_map
+    vml = vx.empty_map(lcfg)
+    pts = jnp.asarray(rng.uniform(-3, 3, (512, 3)), jnp.float32)
+    vml = vx.insert(vml, pts, jnp.ones((512,), bool), lcfg)
+
+    pw0, m0 = _queries(world, rng)
+    pw1, m1 = _queries(world, rng, origin=(0.2, 0.8, -0.05))
+    pw = jnp.stack([pw0, pw1])
+    mask = jnp.stack([m0, m1])
+    cells_g = jnp.stack([vm.cells, vm.cells])
+    thres = jnp.asarray([1.0, 1.0], jnp.float32)
+
+    def one(cg, p, m, t):
+        return pallas_assoc.assoc_dual_batched(
+            cg[None], vml.cells[None], p[None], m[None], t, cfg.map, lcfg,
+            mode=0, k=k, interpret=True)
+
+    vm_out = jax.vmap(one)(cells_g, pw, mask, thres)
+    for b in range(2):
+        ref = one(cells_g[b], pw[b], mask[b], thres[b])
+        for a, r in zip(vm_out, ref):
+            np.testing.assert_allclose(np.asarray(a[b][0]), np.asarray(r[0]),
+                                       rtol=1e-6, atol=1e-6)
