@@ -109,12 +109,25 @@ def main(batch=16, n_scans=30, seed0=None):
     dt = sorted(times)[1]
 
     scans_per_sec = batch * n_scans / dt
+    # self-describing config stamp so cross-round trend lines compare like
+    # for like (r01 recorded an easier config under a different name)
+    config_stamp = {
+        "batch": batch, "n_scans": n_scans,
+        "map_dims": list(cfg.map.dims),
+        "local_map_dims": list(cfg.local_map.dims),
+        "scan": [cfg.scan.n_lines, cfg.scan.max_pts_per_line,
+                 cfg.scan.hori_n_lines, cfg.scan.hori_max_pts_per_line],
+        "stacks": [cfg.scan.max_corner, cfg.scan.max_surf,
+                   cfg.scan.max_nonfeature],
+        "pallas_assoc": bool(cfg.use_pallas_assoc),
+    }
     print(json.dumps({
         "metric": "flagship_replay_throughput",
         "value": round(scans_per_sec, 2),
         "unit": "scans/sec/chip",
         "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 3),
         "reps_scans_per_sec": [round(batch * n_scans / t, 2) for t in times],
+        "config": config_stamp,
     }))
 
 

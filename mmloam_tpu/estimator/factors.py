@@ -191,13 +191,18 @@ def associate_lines(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
     M = pw.shape[0]
 
     def one_map(vmi, mcfg):
-        if cfg.use_pallas_assoc and _kernel_ok(mcfg, M):
+        if (cfg.use_pallas_assoc and _kernel_ok(mcfg, M)
+                and pallas_assoc.single_lowers(vmi.cells.shape, M, mcfg,
+                                               mode=1, k=k)):
             return _line_from_kernel(pw, mask, vmi, mcfg, thres_dist, k)
         t_k, n, s1, s2, _ = _neighbor_moments(vmi, pw, mask, mcfg, k)
         return _line_fit(pw, mask, t_k, n, s1, s2, thres_dist, k)
 
     dual_kernel = (vm_local is not None and cfg.use_pallas_assoc
-                   and _kernel_ok(cfg.map, M) and _kernel_ok(cfg.local_map, M))
+                   and _kernel_ok(cfg.map, M) and _kernel_ok(cfg.local_map, M)
+                   and pallas_assoc.dual_lowers(
+                       vm.cells.shape, vm_local.cells.shape, M,
+                       cfg.map, cfg.local_map, mode=1, k=k))
     if dual_kernel:
         mu, u, valid = _dual_from_kernel(pw, mask, vm, vm_local, cfg,
                                          thres_dist, k, mode=1)
@@ -306,14 +311,21 @@ def associate_planes(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
     M = pw.shape[0]
 
     def one_map(vmi, mcfg):
-        if cfg.use_pallas_assoc and _kernel_ok(mcfg, M):
+        if (cfg.use_pallas_assoc and _kernel_ok(mcfg, M)
+                and pallas_assoc.single_lowers(
+                    vmi.cells.shape, M, mcfg, mode=0, k=k,
+                    scatter_ratio=cfg.solver.plane_scatter_ratio)):
             return _plane_from_kernel(pw, mask, vmi, mcfg, thres_dist, k,
                                       cfg)
         t_k, n, s1, s2, blk = _neighbor_moments(vmi, pw, mask, mcfg, k)
         return _plane_fit(pw, mask, t_k, n, s1, s2, blk, thres_dist, k, cfg)
 
     dual_kernel = (vm_local is not None and cfg.use_pallas_assoc
-                   and _kernel_ok(cfg.map, M) and _kernel_ok(cfg.local_map, M))
+                   and _kernel_ok(cfg.map, M) and _kernel_ok(cfg.local_map, M)
+                   and pallas_assoc.dual_lowers(
+                       vm.cells.shape, vm_local.cells.shape, M,
+                       cfg.map, cfg.local_map, mode=0, k=k,
+                       scatter_ratio=cfg.solver.plane_scatter_ratio))
     if dual_kernel:
         mu, omega, valid = _dual_from_kernel(pw, mask, vm, vm_local, cfg,
                                              thres_dist, k, mode=0)
@@ -383,8 +395,10 @@ def line_residual(x6, tgt: LineTargets, Rbl, tbl):
     """
     pw = _world_points(x6, tgt.p_l, Rbl, tbl)
     d = _safe_norm(jnp.cross(pw - tgt.c, tgt.u))
+    # reference weight: 1 - 0.9|d| / sqrt(sqrt(|P|^2)) == .. / |P|^(1/2)
+    # (ceresfunc.h:433-437 — the inner sqrt is over the SQUARED norm)
     pn = jnp.maximum(jnp.linalg.norm(pw, axis=-1), 1e-6)
-    w = 1.0 - 0.9 * jnp.abs(d) / jnp.sqrt(jnp.sqrt(pn))
+    w = 1.0 - 0.9 * jnp.abs(d) / jnp.sqrt(pn)
     return jnp.where(tgt.valid, w * d, 0.0)
 
 
@@ -395,8 +409,10 @@ def plane_residual(x6, tgt: PlaneTargets, Rbl, tbl):
     """
     pw = _world_points(x6, tgt.p_l, Rbl, tbl)
     r0 = pw - tgt.proj
+    # weight denominator |P|^(1/2), as in ceresfunc.h:550-554 (inner sqrt
+    # is over the squared norm)
     pn = jnp.maximum(jnp.linalg.norm(pw, axis=-1), 1e-6)
-    w = 1.0 - 0.9 * _safe_norm(r0) / jnp.sqrt(jnp.sqrt(pn))
+    w = 1.0 - 0.9 * _safe_norm(r0) / jnp.sqrt(pn)
     r = jnp.einsum("kij,kj->ki", tgt.sqrt_info, w[:, None] * r0)
     return jnp.where(tgt.valid[:, None], r, 0.0)
 

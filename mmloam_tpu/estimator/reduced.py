@@ -161,7 +161,8 @@ def build_reduced(x6, stacks_frame, vm_corner, vm_surf, Rbl, tbl, cfg,
     d_l = jnp.cross(pw_l - lt.c, lt.u)
     dist_l = jnp.sqrt(jnp.sum(d_l * d_l, axis=-1) + 1e-12)
     pn_l = jnp.maximum(jnp.linalg.norm(pw_l, axis=-1), 1e-6)
-    w_l = 1.0 - 0.9 * dist_l / jnp.sqrt(jnp.sqrt(pn_l))
+    # |P|^(1/2) denominator (ceresfunc.h:433-437: sqrt of sqrt of |P|^2)
+    w_l = 1.0 - 0.9 * dist_l / jnp.sqrt(pn_l)
     w_l = w_l * factors.huber_weight((w_l * dist_l) ** 2, huber_delta)
     # projector (I - uuᵀ) is its own square root
     S_l = (jnp.eye(3, dtype=dtype)[None] -
@@ -176,7 +177,7 @@ def build_reduced(x6, stacks_frame, vm_corner, vm_surf, Rbl, tbl, cfg,
         r0_p = pw_p - ptgt.proj
         pn_p = jnp.maximum(jnp.linalg.norm(pw_p, axis=-1), 1e-6)
         w_p = 1.0 - 0.9 * jnp.sqrt(jnp.sum(r0_p * r0_p, axis=-1) + 1e-12) \
-            / jnp.sqrt(jnp.sqrt(pn_p))
+            / jnp.sqrt(pn_p)
         rw = jnp.einsum("kij,kj->ki", ptgt.sqrt_info, w_p[:, None] * r0_p)
         w_p = w_p * factors.huber_weight(jnp.sum(rw * rw, axis=-1),
                                          huber_delta)

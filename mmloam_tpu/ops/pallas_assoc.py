@@ -43,6 +43,7 @@ Output per point (16 lanes):
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -91,6 +92,24 @@ def prepare_queries(pw, mask, cfg):
         [base, ov, keyq[:, :, None], jnp.zeros_like(keyq)[:, :, None]],
         axis=-1)                                              # (M,8,8)
     return slot.astype(jnp.int32), meta_q
+
+
+def _sum12(x):
+    """sum over axes (1, 2), sequentially.
+
+    Mosaic/jellyfish in this image ABORTS (layout.h implicit_dim check)
+    on any single multi-axis reduction of a rank-3 value; two chained
+    single-axis reductions lower fine (measured, scripts/bisect_mosaic2).
+    """
+    return jnp.sum(jnp.sum(x, axis=2), axis=1)
+
+
+def _sum12_keep(x):
+    return jnp.sum(jnp.sum(x, axis=2, keepdims=True), axis=1, keepdims=True)
+
+
+def _min12_keep(x):
+    return jnp.min(jnp.min(x, axis=2, keepdims=True), axis=1, keepdims=True)
 
 
 def _cos_third_acos(r):
@@ -218,9 +237,8 @@ def _fit_rows(rows, mq, *, k, mode, packs, voxel, stencil,
     done = jnp.zeros((GPn, 1, 1), jnp.float32)
     cur = d2m
     for _ in range(k):
-        m = jnp.min(cur, axis=(1, 2), keepdims=True)
-        c = jnp.sum((cur <= m).astype(jnp.float32), axis=(1, 2),
-                    keepdims=True)
+        m = _min12_keep(cur)
+        c = _sum12_keep((cur <= m).astype(jnp.float32))
         fin = (m < big).astype(jnp.float32)
         take = (1.0 - done) * fin
         t = jnp.where(take > 0.0, m, t)
@@ -230,18 +248,18 @@ def _fit_rows(rows, mq, *, k, mode, packs, voxel, stencil,
         cur = jnp.where(cur <= m, big, cur)
 
     w = ((okf > 0.0) & (d2 <= t)).astype(jnp.float32)
-    n = jnp.sum(w, axis=(1, 2))
+    n = _sum12(w)
     nf = jnp.maximum(n, 1.0)
 
-    s1x = jnp.sum(dx * w, axis=(1, 2))
-    s1y = jnp.sum(dy * w, axis=(1, 2))
-    s1z = jnp.sum(dz * w, axis=(1, 2))
-    sxx = jnp.sum(dx * dx * w, axis=(1, 2))
-    syy = jnp.sum(dy * dy * w, axis=(1, 2))
-    szz = jnp.sum(dz * dz * w, axis=(1, 2))
-    sxy = jnp.sum(dx * dy * w, axis=(1, 2))
-    sxz = jnp.sum(dx * dz * w, axis=(1, 2))
-    syz = jnp.sum(dy * dz * w, axis=(1, 2))
+    s1x = _sum12(dx * w)
+    s1y = _sum12(dy * w)
+    s1z = _sum12(dz * w)
+    sxx = _sum12(dx * dx * w)
+    syy = _sum12(dy * dy * w)
+    szz = _sum12(dz * dz * w)
+    sxy = _sum12(dx * dy * w)
+    sxz = _sum12(dx * dz * w)
+    syz = _sum12(dy * dz * w)
     mux, muy, muz = s1x / nf, s1y / nf, s1z / nf
 
     if mode == 0:
@@ -257,8 +275,8 @@ def _fit_rows(rows, mq, *, k, mode, packs, voxel, stencil,
         dev = ((dx - mux[:, None, None]) * vx[:, None, None]
                + (dy - muy[:, None, None]) * vy[:, None, None]
                + (dz - muz[:, None, None]) * vz[:, None, None])
-        bad = jnp.sum(((w > 0.0) & (jnp.abs(dev) > 0.2))
-                      .astype(jnp.float32), axis=(1, 2))
+        bad = _sum12(((w > 0.0) & (jnp.abs(dev) > 0.2))
+                     .astype(jnp.float32))
         shape_ok = bad == 0.0
         if scatter_ratio > 0.0:
             shape_ok = shape_ok & (e_mid > scatter_ratio * e_hi)
@@ -292,23 +310,28 @@ def _assoc_kernel(slot_ref, meta_ref, thres_ref, bmap_ref, cells_ref,
     """One grid step: fetch GP points' stencil rows, select, fit, gate.
 
     slot_ref: (1, GP, 8) SMEM int32; meta_ref: (1, GP, 8, 8) VMEM;
-    thres_ref: (1, 1) SMEM (traced member-schedule distance gate, per
-    batch element); bmap_ref: (1, 1) SMEM int32 — which cells batch row
-    this grid step reads (identity when the maps are batched 1:1 with the
-    queries; constant when one map serves several query batches — the
-    custom_vmap fold, see `_fold_cells`); cells_ref: (Bc, Cs, 128) ANY;
+    thres_ref: (B, 1) SMEM f32 (traced member-schedule distance gate per
+    batch element, indexed by program_id(0)); bmap_ref: (B, 1) SMEM int32
+    — which cells batch row this grid step reads (identity when the maps
+    are batched 1:1 with the queries; constant when one map serves several
+    query batches — the custom_vmap fold, see `_fold_cells`).  Both are
+    2D because Mosaic requires rank >= 2 SMEM layouts (a rank-1 (B,)
+    operand aborts the TPU compiler with a layout_rank check failure).
+    cells_ref: (Bc, Cs, 128) ANY;
     out_ref: (1, GP, 16) VMEM; scratch: (GP * 8, 128) VMEM; sems:
-    (GP * 8,) DMA semaphores.
+    (GP,) DMA semaphores — ONE per point, shared by its 8 row copies
+    (the chip's sflag space is 2048 B ≈ 512 semaphores; a per-copy
+    (GP*8,) array exceeds it and fails allocation).
     Output lanes: [mu(3), vec(3), valid(1), t_k(1), n(1), pad(7)].
     """
     bq = pl.program_id(0)
-    b = bmap_ref[bq]
-    thres = thres_ref[bq]
+    b = bmap_ref[bq, 0]
+    thres = thres_ref[bq, 0]
 
     def issue(i, _):
         row = slot_ref[0, i // 8, i % 8]
         pltpu.make_async_copy(cells_ref.at[b, row], scratch.at[i],
-                              sems.at[i]).start()
+                              sems.at[i // 8]).start()
         return 0
 
     jax.lax.fori_loop(0, GP * 8, issue, 0)
@@ -316,7 +339,7 @@ def _assoc_kernel(slot_ref, meta_ref, thres_ref, bmap_ref, cells_ref,
     def wait(i, _):
         row = slot_ref[0, i // 8, i % 8]
         pltpu.make_async_copy(cells_ref.at[b, row], scratch.at[i],
-                              sems.at[i]).wait()
+                              sems.at[i // 8]).wait()
         return 0
 
     jax.lax.fori_loop(0, GP * 8, wait, 0)
@@ -387,10 +410,10 @@ def _assoc_pallas(cells, slot, meta_q, thres, bmap, *, k, mode, params,
         out_specs=pl.BlockSpec((1, GP, 16), lambda b, g: (b, g, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((GP * 8, 128), dtype),
-                        pltpu.SemaphoreType.DMA((GP * 8,))],
+                        pltpu.SemaphoreType.DMA((GP,))],
         interpret=interpret,
-    )(slot, meta_q, thres.astype(dtype).reshape(B),
-      bmap.astype(jnp.int32).reshape(B), cells)
+    )(slot, meta_q, thres.astype(dtype).reshape(B, 1),
+      bmap.astype(jnp.int32).reshape(B, 1), cells)
     return out
 
 
@@ -417,15 +440,81 @@ def _single_call(k, mode, params, scatter_ratio, interpret):
     return call
 
 
+# --------------------------------------------------------------------------
+# Lowering probes: Mosaic rejections (e.g. an unsupported SMEM store) only
+# surface at TPU compile time, which interpret-mode tests cannot catch.  The
+# dispatch layer (estimator/factors.py) calls these once per static shape
+# signature before selecting the kernel path; a failed probe warns and sends
+# the step program down the XLA association path instead of crashing it.
+# --------------------------------------------------------------------------
+
+_PROBE_CACHE: dict = {}
+
+
+def _probe(key, lower_fn):
+    """Memoized compile probe: True iff `lower_fn()` (an AOT
+    lower+compile of a kernel launch) succeeds on the default backend."""
+    full_key = (jax.default_backend(), key)
+    if full_key not in _PROBE_CACHE:
+        try:
+            lower_fn()
+            _PROBE_CACHE[full_key] = True
+        except Exception as e:
+            warnings.warn(
+                f"pallas association kernel failed to compile on "
+                f"{jax.default_backend()} ({key[0]}); dispatching the XLA "
+                f"association path instead: {type(e).__name__}: {e}")
+            _PROBE_CACHE[full_key] = False
+    return _PROBE_CACHE[full_key]
+
+
+def single_lowers(cells_shape, m, cfg, mode, k=5, scatter_ratio=0.0):
+    """True iff the single-tier kernel compiles for these static shapes.
+    On CPU the interpret path always runs — no probe needed."""
+    if jax.default_backend() == "cpu":
+        return True
+    cs = tuple(cells_shape[-2:])
+    key = ("single", cs, m, cfg, mode, k, float(scatter_ratio))
+    f32 = jnp.float32
+    args = (jax.ShapeDtypeStruct((1,) + cs, f32),
+            jax.ShapeDtypeStruct((1, m, 3), f32),
+            jax.ShapeDtypeStruct((1, m), jnp.bool_),
+            jax.ShapeDtypeStruct((), f32))
+    return _probe(key, lambda: assoc_batched.lower(
+        *args, cfg=cfg, mode=mode, k=k,
+        scatter_ratio=scatter_ratio).compile())
+
+
+def dual_lowers(cellsg_shape, cellsl_shape, m, cfg_g, cfg_l, mode, k=5,
+                scatter_ratio=0.0):
+    """True iff the dual-tier kernel compiles for these static shapes."""
+    if jax.default_backend() == "cpu":
+        return True
+    csg = tuple(cellsg_shape[-2:])
+    csl = tuple(cellsl_shape[-2:])
+    key = ("dual", csg, csl, m, cfg_g, cfg_l, mode, k, float(scatter_ratio))
+    f32 = jnp.float32
+    args = (jax.ShapeDtypeStruct((1,) + csg, f32),
+            jax.ShapeDtypeStruct((1,) + csl, f32),
+            jax.ShapeDtypeStruct((1, m, 3), f32),
+            jax.ShapeDtypeStruct((1, m), jnp.bool_),
+            jax.ShapeDtypeStruct((), f32))
+    return _probe(key, lambda: assoc_dual_batched.lower(
+        *args, cfg_g=cfg_g, cfg_l=cfg_l, mode=mode, k=k,
+        scatter_ratio=scatter_ratio).compile())
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "mode", "k", "scatter_ratio",
                                     "interpret"))
 def assoc_batched(cells, pw, mask, thres, cfg, mode, k=5,
                   scatter_ratio=0.0, interpret=None):
     """Batched fused association: cells (B, Cs, 128), pw (B, M, 3),
-    mask (B, M), thres () traced squared-distance gate.  mode 0 = plane
-    (surf maps), 1 = line (corner maps).  vmap-safe: outer vmap axes fold
-    into the kernel's batch grid (see `_single_call`).
+    mask (B, M), thres traced squared-distance gate — scalar or (B,)
+    per-batch-element (broadcast to (B,) and read per grid row in the
+    kernel).  mode 0 = plane (surf maps), 1 = line (corner maps).
+    vmap-safe: outer vmap axes fold into the kernel's batch grid (see
+    `_single_call`).
 
     Returns (mu (B,M,3), vec (B,M,3), valid (B,M) bool, t_k (B,M),
     n (B,M)): the fit plus the FULL acceptance gate (selection count,
@@ -476,14 +565,14 @@ def _assoc_dual_kernel(slotg_ref, metag_ref, slotl_ref, metal_ref,
     out lanes per point: [mu(3), vec(3), valid(1), used_local(1), pad(8)].
     """
     bq = pl.program_id(0)
-    bg = bmapg_ref[bq]
-    bl = bmapl_ref[bq]
-    thres = thres_ref[bq]
+    bg = bmapg_ref[bq, 0]
+    bl = bmapl_ref[bq, 0]
+    thres = thres_ref[bq, 0]
 
     def issue_g(i, _):
         row = slotg_ref[0, i // 8, i % 8]
         pltpu.make_async_copy(cells_g_ref.at[bg, row], scratch.at[i],
-                              sems.at[i]).start()
+                              sems.at[i // 8]).start()
         return 0
 
     jax.lax.fori_loop(0, GP * 8, issue_g, 0)
@@ -491,7 +580,7 @@ def _assoc_dual_kernel(slotg_ref, metag_ref, slotl_ref, metal_ref,
     def wait_g(i, _):
         row = slotg_ref[0, i // 8, i % 8]
         pltpu.make_async_copy(cells_g_ref.at[bg, row], scratch.at[i],
-                              sems.at[i]).wait()
+                              sems.at[i // 8]).wait()
         return 0
 
     jax.lax.fori_loop(0, GP * 8, wait_g, 0)
@@ -502,15 +591,27 @@ def _assoc_dual_kernel(slotg_ref, metag_ref, slotl_ref, metal_ref,
         **params_g)
     valid_g = (g_fit > 0.0) & (g_t < thres)
 
-    # per-point rescue flags into SMEM so the DMA loop can read scalars
-    need_smem[0, :] = jnp.where(valid_g, 0, 1).astype(jnp.int32)
+    # Per-point rescue flags into SMEM so the DMA loop can read scalars.
+    # Mosaic lowers only SCALAR stores to SMEM (no vector stores, and no
+    # dynamic lane extraction from a vector register), so each flag is
+    # extracted with a masked full-reduction — 128 reductions of a
+    # 128-lane vector, noise next to the 1024 row DMAs around it.
+    need_f = jnp.where(valid_g, 0.0, 1.0).reshape(1, GP)
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (1, GP), 1)
+
+    def write_need(i, _):
+        need_smem[0, i] = jnp.sum(
+            jnp.where(lane_id == i, need_f, 0.0)).astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, GP, write_need, 0)
 
     def issue_l(i, _):
         @pl.when(need_smem[0, i // 8] > 0)
         def _():
             row = slotl_ref[0, i // 8, i % 8]
             pltpu.make_async_copy(cells_l_ref.at[bl, row], scratch.at[i],
-                                  sems.at[i]).start()
+                                  sems.at[i // 8]).start()
         return 0
 
     jax.lax.fori_loop(0, GP * 8, issue_l, 0)
@@ -520,7 +621,7 @@ def _assoc_dual_kernel(slotg_ref, metag_ref, slotl_ref, metal_ref,
         def _():
             row = slotl_ref[0, i // 8, i % 8]
             pltpu.make_async_copy(cells_l_ref.at[bl, row], scratch.at[i],
-                                  sems.at[i]).wait()
+                                  sems.at[i // 8]).wait()
         return 0
 
     jax.lax.fori_loop(0, GP * 8, wait_l, 0)
@@ -577,13 +678,13 @@ def _dual_pallas(cells_g, cells_l, slot_g, meta_g, slot_l, meta_l, thres,
         out_specs=pl.BlockSpec((1, GP, 16), lambda b, g: (b, g, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((GP * 8, 128), dtype),
-                        pltpu.SemaphoreType.DMA((GP * 8,)),
+                        pltpu.SemaphoreType.DMA((GP,)),
                         pltpu.SMEM((1, GP), jnp.int32)],
         interpret=interpret,
     )(slot_g, meta_g, slot_l, meta_l,
-      thres.astype(dtype).reshape(B),
-      bmap_g.astype(jnp.int32).reshape(B),
-      bmap_l.astype(jnp.int32).reshape(B), cells_g, cells_l)
+      thres.astype(dtype).reshape(B, 1),
+      bmap_g.astype(jnp.int32).reshape(B, 1),
+      bmap_l.astype(jnp.int32).reshape(B, 1), cells_g, cells_l)
     return out
 
 
@@ -621,8 +722,9 @@ def assoc_dual_batched(cells_g, cells_l, pw, mask, thres, cfg_g, cfg_l,
                        mode, k=5, scatter_ratio=0.0, interpret=None):
     """Dual-tier fused association: global map + conditional local rescue.
 
-    cells_g/cells_l: (B, Cs, 128); pw: (B, M, 3); mask: (B, M); thres: ()
-    traced squared-distance gate (the member-variable schedule value).
+    cells_g/cells_l: (B, Cs, 128); pw: (B, M, 3); mask: (B, M); thres:
+    traced squared-distance gate (the member-variable schedule value) —
+    scalar or (B,) per-batch-element.
     vmap-safe: outer vmap axes fold into the batch grid (`_dual_call`).
     Returns (mu (B,M,3), vec (B,M,3), valid (B,M) bool, used_local (B,M)
     bool) — the MERGED fit, all acceptance gates already applied

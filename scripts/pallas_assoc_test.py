@@ -146,18 +146,26 @@ def main():
         print(f"{tag}: {dt * 1e3:.2f} ms per (B={B}, M={M}) association")
         return dt
 
-    k_fn = jax.jit(lambda p, m: pallas_assoc.assoc_batched(
-        cells_b, p, m, jnp.float32(1.0), cfg.map, mode=0,
+    # cells must be jit ARGUMENTS: closed-over concrete arrays are baked
+    # into the program as constants, and at flagship dims the serialized
+    # compile request exceeds the remote compile server's size limit
+    # (HTTP 413)
+    k_fn_raw = jax.jit(lambda c, p, m: pallas_assoc.assoc_batched(
+        c, p, m, jnp.float32(1.0), cfg.map, mode=0,
         scatter_ratio=cfg.solver.plane_scatter_ratio))
-    x_fn = jax.jit(lambda p, m: jax.vmap(
-        lambda pp, mm: xla_plane(vm.cells, pp, mm, cfg=cfg))(p, m))
+    x_fn_raw = jax.jit(lambda c, p, m: jax.vmap(
+        lambda pp, mm: xla_plane(c, pp, mm, cfg=cfg))(p, m))
+    k_fn = lambda p, m: k_fn_raw(cells_b, p, m)
+    x_fn = lambda p, m: x_fn_raw(vm.cells, p, m)
     dk = timed(k_fn, "pallas kernel")
     dx_ = timed(x_fn, "xla path    ")
     print(f"speedup: {dx_ / dk:.2f}x")
 
-    d_fn = jax.jit(lambda p, m: pallas_assoc.assoc_dual_batched(
-        cells_b, cells_lb, p, m, jnp.float32(1.0), cfg.map, cfg.local_map,
-        mode=0, scatter_ratio=cfg.solver.plane_scatter_ratio))
+    d_fn_raw = jax.jit(
+        lambda cg, cl, p, m: pallas_assoc.assoc_dual_batched(
+            cg, cl, p, m, jnp.float32(1.0), cfg.map, cfg.local_map,
+            mode=0, scatter_ratio=cfg.solver.plane_scatter_ratio))
+    d_fn = lambda p, m: d_fn_raw(cells_b, cells_lb, p, m)
     dd = timed(d_fn, "dual kernel ")
     print(f"dual vs 2x single: {2.0 * dk / dd:.2f}x")
 

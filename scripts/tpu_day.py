@@ -6,12 +6,16 @@ Order matters: cheap correctness gates first (so a broken kernel fails in
 seconds, not after a 10-minute flagship compile), then throughput, then
 the profile artifact.
 
+  0. kernel lowering smoke (compile-only AOT of both assoc kernels at
+     flagship shapes — catches Mosaic/jellyfish rejections in ~1 min;
+     the auto-fallback probes in estimator/factors.py would route the
+     engine to the XLA path on failure, this step makes it LOUD)
   1. device probe
   2. pallas insert kernel check        (scripts/pallas_insert_test.py)
   3. pallas assoc kernel check + bench (scripts/pallas_assoc_test.py)
   4. tiny-config replay smoke (accuracy unchanged on TPU)
   5. flagship bench                    (bench.py, 3-rep median)
-  6. per-stage profile artifact        (PROFILE_r02.json)
+  6. per-stage profile artifact        (PROFILE_r03.json)
 """
 
 import os
@@ -39,19 +43,34 @@ def main():
         print("TPU not reachable; aborting")
         return 1
     steps = [
+        ("kernel lowering smoke", [
+            sys.executable, "-c",
+            "import sys; sys.path.insert(0, '.');"
+            "from mmloam_tpu.config import LIOConfig;"
+            "from mmloam_tpu.ops import pallas_assoc, voxelmap as vx;"
+            "cfg = LIOConfig();"
+            "cs = vx.empty_map(cfg.map).cells.shape;"
+            "cl = vx.empty_map(cfg.local_map).cells.shape;"
+            "ok1 = pallas_assoc.single_lowers(cs, 2048, cfg.map, mode=0,"
+            " scatter_ratio=cfg.solver.plane_scatter_ratio);"
+            "ok2 = pallas_assoc.dual_lowers(cs, cl, 2048, cfg.map,"
+            " cfg.local_map, mode=1);"
+            "print('single lowers:', ok1, ' dual lowers:', ok2);"
+            "sys.exit(0 if (ok1 and ok2) else 1)"]),
         ("insert kernel", [sys.executable, "scripts/pallas_insert_test.py"]),
         ("assoc kernel", [sys.executable, "scripts/pallas_assoc_test.py"]),
         ("tiny replay smoke", [sys.executable, "scripts/smoke_ate.py", "20"]),
         ("flagship bench", [sys.executable, "bench.py"]),
         ("profile artifact", [sys.executable, "scripts/profile_replay.py",
                               "16", "20", "--flagship", "--json",
-                              "PROFILE_r02.json"]),
+                              "PROFILE_r03.json"]),
     ]
     failed = []
     for tag, cmd in steps:
         if run(tag, cmd) != 0:
             failed.append(tag)
-            if tag in ("insert kernel", "assoc kernel"):
+            if tag in ("kernel lowering smoke", "insert kernel",
+                       "assoc kernel"):
                 print(f"{tag} FAILED — fix before measuring throughput")
                 return 1
     print("\nsweep complete; failed:", failed or "none")
