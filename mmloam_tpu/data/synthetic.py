@@ -72,6 +72,130 @@ class BoxWorld:
         return np.where(t_hit <= max_range, t_hit, np.inf)
 
 
+class MultiRoomWorld:
+    """Interior = UNION of axis-aligned room boxes (connected through their
+    overlaps), plus solid clutter boxes.  Generalizes BoxWorld to
+    corridor networks and multi-room offices — the geometry classes the
+    reference is validated on (Corridor/Office datasets, README.md:67-75)
+    that a single box cannot reproduce: doorway silhouettes, corridor
+    degeneracy, occluding furniture.
+    """
+
+    def __init__(self, rooms, clutter=()):
+        self.rooms = [(np.asarray(a, np.float64), np.asarray(b, np.float64))
+                      for a, b in rooms]
+        self.clutter = [(np.asarray(a, np.float64), np.asarray(b, np.float64))
+                        for a, b in clutter]
+
+    def raycast(self, origin, dirs, max_range=80.0):
+        """origin (3,) or (N,3), dirs (N,3) unit.  Ranges (N,), inf = miss.
+
+        Wall hit = exit distance from the UNION of room interiors: each
+        room contributes an inside-interval [tin, tout]; the union's
+        contiguous coverage starting at t=0 is grown iteratively (R
+        passes suffice for R rooms — each pass absorbs at least one
+        interval that extends the frontier).
+        """
+        d = np.asarray(dirs, np.float64)
+        o = np.broadcast_to(np.asarray(origin, np.float64), d.shape)
+        eps = 1e-12
+        inv = 1.0 / np.where(np.abs(d) < eps, eps, d)
+
+        tins, touts = [], []
+        for rmin, rmax in self.rooms:
+            t1 = (rmin[None, :] - o) * inv
+            t2 = (rmax[None, :] - o) * inv
+            tin = np.minimum(t1, t2).max(axis=1)
+            tout = np.maximum(t1, t2).min(axis=1)
+            ok = tout > np.maximum(tin, 0.0)
+            tins.append(np.where(ok, tin, np.inf))
+            touts.append(np.where(ok, tout, -np.inf))
+        tins = np.stack(tins)                      # (R, N)
+        touts = np.stack(touts)
+
+        t_exit = np.zeros(d.shape[0])
+        for _ in range(len(self.rooms)):
+            covers = (tins <= t_exit[None, :] + 1e-6) & \
+                     (touts > t_exit[None, :])
+            ext = np.where(covers, touts, -np.inf).max(axis=0)
+            t_exit = np.maximum(t_exit, ext)
+
+        t_hit = t_exit
+        for pmin, pmax in self.clutter:
+            t1 = (pmin[None, :] - o) * inv
+            t2 = (pmax[None, :] - o) * inv
+            tmin = np.minimum(t1, t2).max(axis=1)
+            tmax = np.maximum(t1, t2).min(axis=1)
+            hit = (tmax > tmin) & (tmax > 1e-6) & (tmin > 1e-6)
+            t_hit = np.where(hit, np.minimum(t_hit, tmin), t_hit)
+
+        t_hit = np.where(t_hit > 1e-6, t_hit, np.inf)
+        return np.where(t_hit <= max_range, t_hit, np.inf)
+
+
+def corridor_world() -> MultiRoomWorld:
+    """A 36 m corridor (2.2 m wide) with three side rooms and sparse
+    clutter — the reference's Corridor dataset geometry class: long
+    stretches where plane normals span only 2 directions (the
+    localizability gate's target regime).
+    """
+    z0, z1 = -1.3, 1.7
+    return MultiRoomWorld(
+        rooms=[((-18.0, -1.1, z0), (18.0, 1.1, z1)),
+               ((-14.0, 1.0, z0), (-8.0, 7.0, z1)),
+               ((-2.0, -7.0, z0), (4.0, -1.0, z1)),
+               ((10.0, 1.0, z0), (16.0, 6.0, z1))],
+        clutter=[((-11.5, 3.2, z0), (-10.7, 4.0, 0.0)),
+                 ((0.5, -4.6, z0), (1.3, -3.8, 0.2)),
+                 ((12.5, 2.8, z0), (13.3, 3.6, -0.2)),
+                 ((6.0, -0.9, z0), (6.5, -0.4, -0.5)),
+                 ((-5.0, 0.4, z0), (-4.5, 0.9, -0.6))])
+
+
+def office_world(seed=7, n_clutter=22) -> MultiRoomWorld:
+    """Cluttered multi-room office: four rooms joined by two corridors,
+    with `n_clutter` desk/shelf-sized boxes at seeded random positions —
+    clutter density matching a working office (the reference's Office
+    dataset class).  Clutter keeps a clear 1.2 m radius around the
+    figure-eight trajectory region (|y| < 1, x in [-6, 6]).
+    """
+    rng = np.random.default_rng(seed)
+    z0, z1 = -1.3, 1.7
+    rooms = [((-12.0, -8.0, z0), (0.0, 0.5, z1)),
+             ((0.0 - 0.5, -8.0, z0), (12.0, 0.5, z1)),
+             ((-12.0, 0.0, z0), (-2.0, 8.0, z1)),
+             ((-2.5, 0.0, z0), (12.0, 8.0, z1))]
+    clutter = []
+    tries = 0
+    while len(clutter) < n_clutter and tries < 400:
+        tries += 1
+        cx = rng.uniform(-11.0, 11.0)
+        cy = rng.uniform(-7.0, 7.0)
+        if abs(cy) < 1.6 and -7.0 < cx < 7.0:
+            continue                      # keep the trajectory corridor clear
+        w = rng.uniform(0.3, 1.2)
+        dep = rng.uniform(0.3, 1.2)
+        h = rng.uniform(0.4, 1.6)
+        clutter.append(((cx - w / 2, cy - dep / 2, z0),
+                        (cx + w / 2, cy + dep / 2, z0 + h)))
+    return MultiRoomWorld(rooms=rooms, clutter=clutter)
+
+
+def street_world() -> BoxWorld:
+    """Street-scale canyon: a 240 m drive between building facades with
+    protruding storefronts — the reference's Street dataset class.  Long
+    enough that a flagship 256-cell 0.4 m torus map (102.4 m period)
+    wraps twice, exercising epoch-key eviction at scale.
+    """
+    pillars = []
+    for i in range(-5, 6):
+        x = 22.0 * i
+        pillars.append(((x - 3.0, -14.0, -1.3), (x + 3.0, -9.5, 4.0)))
+        pillars.append(((x - 2.0 + 7.0, 9.5, -1.3), (x + 2.0 + 7.0, 13.5, 4.0)))
+    return BoxWorld(room_min=(-125.0, -15.0, -1.5),
+                    room_max=(125.0, 15.0, 5.5), pillars=pillars)
+
+
 def default_world() -> BoxWorld:
     """A 24x16x3 m hall with four pillars — Office/Hall-like geometry.
 

@@ -8,13 +8,17 @@ candidate blocks feeding a 256-wide `top_k` sort, and the masked moment
 reductions — together the largest block of the step profile after the
 inserts were moved to Pallas.
 
-This kernel keeps the whole thing in VMEM: each grid step DMAs one point
-group's stencil superrows (8 rows x 512 B per point), computes candidate
-distances, performs the exact k-th-smallest threshold selection, reduces
-the selected candidates to first/second moments, runs the closed-form 3x3
-eigen-analysis (the `ops/linalg3.py` formulas), and writes 16 floats per
-point.  HBM traffic per point drops from ~64 KB of intermediates to
-4 KB of row reads + 64 B of output.
+The split that measured fastest on hardware (r3): XLA performs the row
+GATHER (`cells[slot]`, ~10 ns/row — scripts/gather_bench.py), and one
+Pallas kernel fuses everything downstream — candidate distances, the
+exact k-th-smallest threshold selection, masked first/second moments,
+the closed-form 3x3 eigen-analysis (the `ops/linalg3.py` formulas), and
+all acceptance gates — writing 16 floats per point.  HBM traffic per
+point drops from ~64 KB of XLA intermediates to 4 KB of gather read +
+4 KB write + 4 KB kernel read + 64 B of output.  (A manual per-row-DMA
+variant that skipped the gather intermediate entirely was measured
+2x SLOWER than the XLA path: its 2 x 8 x GP scalar DMA issue/wait loop
+iterations per grid step dominated the runtime.)
 
 Semantics are identical to the XLA path (asserted by
 tests/test_pallas_assoc.py):
@@ -305,46 +309,31 @@ def _fit_rows(rows, mq, *, k, mode, packs, voxel, stencil,
             fit_ok)
 
 
-def _assoc_kernel(slot_ref, meta_ref, thres_ref, bmap_ref, cells_ref,
-                  out_ref, scratch, sems, *, k, mode, params, scatter_ratio):
-    """One grid step: fetch GP points' stencil rows, select, fit, gate.
+def _assoc_kernel(meta_ref, thres_ref, rows_ref, out_ref, *, k, mode,
+                  params, scatter_ratio):
+    """One grid step: select + fit + gate GP points from PRE-GATHERED rows.
 
-    slot_ref: (1, GP, 8) SMEM int32; meta_ref: (1, GP, 8, 8) VMEM;
-    thres_ref: (B, 1) SMEM f32 (traced member-schedule distance gate per
-    batch element, indexed by program_id(0)); bmap_ref: (B, 1) SMEM int32
-    — which cells batch row this grid step reads (identity when the maps
-    are batched 1:1 with the queries; constant when one map serves several
-    query batches — the custom_vmap fold, see `_fold_cells`).  Both are
-    2D because Mosaic requires rank >= 2 SMEM layouts (a rank-1 (B,)
-    operand aborts the TPU compiler with a layout_rank check failure).
-    cells_ref: (Bc, Cs, 128) ANY;
-    out_ref: (1, GP, 16) VMEM; scratch: (GP * 8, 128) VMEM; sems:
-    (GP,) DMA semaphores — ONE per point, shared by its 8 row copies
-    (the chip's sflag space is 2048 B ≈ 512 semaphores; a per-copy
-    (GP*8,) array exceeds it and fails allocation).
+    meta_ref: (1, GP, 8, 8) VMEM; thres_ref: (B, 1) SMEM f32 (traced
+    member-schedule distance gate per batch element, indexed by
+    program_id(0); 2D because Mosaic requires rank >= 2 SMEM layouts);
+    rows_ref: (1, GP, 8, 128) VMEM — the stencil superrows, gathered by
+    XLA (`cells[slot]`) before the launch; out_ref: (1, GP, 16) VMEM.
+
+    No manual DMA: the first TPU measurement of the DMA-gather variant
+    (scripts/pallas_assoc_test.py, r3) showed its 2 x GP x 8 scalar
+    issue/wait loop iterations dominating at ~270 us per grid step —
+    2x SLOWER than the whole XLA association path — while XLA row
+    gathers cost ~10 ns/row (CLAUDE.md, scripts/gather_bench.py).  The
+    kernel now fuses everything DOWNSTREAM of the gather (the k-th
+    smallest selection, masked moments, closed-form eigen fits, gates),
+    which is where the XLA path burns its time (top_k sort + layout
+    copies + 300 MB of HBM intermediates at flagship shapes); block
+    fetches are auto-pipelined against compute by the Pallas grid.
     Output lanes: [mu(3), vec(3), valid(1), t_k(1), n(1), pad(7)].
     """
     bq = pl.program_id(0)
-    b = bmap_ref[bq, 0]
     thres = thres_ref[bq, 0]
-
-    def issue(i, _):
-        row = slot_ref[0, i // 8, i % 8]
-        pltpu.make_async_copy(cells_ref.at[b, row], scratch.at[i],
-                              sems.at[i // 8]).start()
-        return 0
-
-    jax.lax.fori_loop(0, GP * 8, issue, 0)
-
-    def wait(i, _):
-        row = slot_ref[0, i // 8, i % 8]
-        pltpu.make_async_copy(cells_ref.at[b, row], scratch.at[i],
-                              sems.at[i // 8]).wait()
-        return 0
-
-    jax.lax.fori_loop(0, GP * 8, wait, 0)
-
-    rows = scratch[:].reshape(GP, 8, 128)
+    rows = rows_ref[0]
     (mux, muy, muz, vx, vy, vz, _, _, _, t_out, n, fit_ok) = _fit_rows(
         rows, meta_ref[0], k=k, mode=mode, scatter_ratio=scatter_ratio,
         **params)
@@ -355,13 +344,11 @@ def _assoc_kernel(slot_ref, meta_ref, thres_ref, bmap_ref, cells_ref,
 
 
 # --------------------------------------------------------------------------
-# vmap folding: pallas_call's ANY-memory map operands cannot be batched by
-# the generic vmap rule (the TPU lowering requires full-array blocks with a
-# trivial index map for ANY memrefs), so the kernels carry a NATIVE batch
-# grid axis and a custom_vmap rule folds any outer vmap axes into it.  The
-# `bmap` indirection (grid batch -> cells batch row) lets an UNBATCHED map
-# serve batched queries without materializing a broadcast of the (64 MB)
-# cells array.
+# vmap folding: the kernels carry a NATIVE batch grid axis and a
+# custom_vmap rule folds any outer vmap axes into it (one launch per
+# nesting level instead of per lane).  The row gather happens in XLA
+# before the launch, so map sharing/batching under vmap needs no special
+# handling here.
 # --------------------------------------------------------------------------
 
 def _fold(x, batched, axis_size):
@@ -373,24 +360,17 @@ def _fold(x, batched, axis_size):
         (axis_size * x.shape[0],) + x.shape[1:])
 
 
-def _fold_cells(cells, cells_batched, bmap, bmap_batched, axis_size):
-    """Fold one (cells, bmap) pair: batched maps get per-lane row offsets;
-    an unbatched map is shared (bmap repeats, no data movement)."""
-    B0 = bmap.shape[-1]
-    bm = bmap if bmap_batched else jnp.broadcast_to(bmap[None],
-                                                    (axis_size, B0))
-    if cells_batched:
-        nc = cells.shape[1]
-        bm = bm + jnp.arange(axis_size, dtype=bm.dtype)[:, None] * nc
-        cells = cells.reshape((cells.shape[0] * nc,) + cells.shape[2:])
-    return cells, bm.reshape(-1)
+def _gather_rows(cells, slot):
+    """cells (B, Cs, 128), slot (B, M, 8) -> (B, M, 8, 128) full-row
+    gather (the ~10 ns/row pattern: widest rows, no minor-dim reshape)."""
+    return jax.vmap(lambda c, s: c[s])(cells, slot)
 
 
-def _assoc_pallas(cells, slot, meta_q, thres, bmap, *, k, mode, params,
-                  scatter_ratio, interpret):
-    """Raw batched launch: cells (Bc, Cs, 128), slot (B, M, 8),
-    meta_q (B, M, 8, 8), thres (B,), bmap (B,) int32.  Returns (B, M, 16)."""
-    B, M = slot.shape[:2]
+def _assoc_pallas(rows, meta_q, thres, *, k, mode, params, scatter_ratio,
+                  interpret):
+    """Raw batched launch: rows (B, M, 8, 128), meta_q (B, M, 8, 8),
+    thres (B,).  Returns (B, M, 16)."""
+    B, M = rows.shape[:2]
     dtype = jnp.float32
     kern = functools.partial(_assoc_kernel, k=k, mode=mode, params=params,
                              scatter_ratio=scatter_ratio)
@@ -399,21 +379,16 @@ def _assoc_pallas(cells, slot, meta_q, thres, bmap, *, k, mode, params,
         out_shape=jax.ShapeDtypeStruct((B, M, 16), dtype),
         grid=(B, M // GP),
         in_specs=[
-            pl.BlockSpec((1, GP, 8), lambda b, g: (b, g, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, GP, 8, 8), lambda b, g: (b, g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, GP, 8, 128), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, GP, 16), lambda b, g: (b, g, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((GP * 8, 128), dtype),
-                        pltpu.SemaphoreType.DMA((GP,))],
         interpret=interpret,
-    )(slot, meta_q, thres.astype(dtype).reshape(B, 1),
-      bmap.astype(jnp.int32).reshape(B, 1), cells)
+    )(meta_q, thres.astype(dtype).reshape(B, 1), rows)
     return out
 
 
@@ -421,20 +396,17 @@ def _single_call(k, mode, params, scatter_ratio, interpret):
     """custom_vmap-wrapped single-tier launch (statics closed over)."""
 
     @custom_batching.custom_vmap
-    def call(cells, slot, meta_q, thres, bmap):
-        return _assoc_pallas(cells, slot, meta_q, thres, bmap, k=k,
-                             mode=mode, params=params,
-                             scatter_ratio=scatter_ratio,
+    def call(rows, meta_q, thres):
+        return _assoc_pallas(rows, meta_q, thres, k=k, mode=mode,
+                             params=params, scatter_ratio=scatter_ratio,
                              interpret=interpret)
 
     @call.def_vmap
-    def _rule(axis_size, in_batched, cells, slot, meta_q, thres, bmap):
-        cb, sb, mb, tb, bb = in_batched
-        B0 = slot.shape[1] if sb else slot.shape[0]
-        cells2, bmap2 = _fold_cells(cells, cb, bmap, bb, axis_size)
-        out = call(cells2, _fold(slot, sb, axis_size),
-                   _fold(meta_q, mb, axis_size), _fold(thres, tb, axis_size),
-                   bmap2)
+    def _rule(axis_size, in_batched, rows, meta_q, thres):
+        rb, mb, tb = in_batched
+        B0 = rows.shape[1] if rb else rows.shape[0]
+        out = call(_fold(rows, rb, axis_size), _fold(meta_q, mb, axis_size),
+                   _fold(thres, tb, axis_size))
         return out.reshape((axis_size, B0) + out.shape[1:]), True
 
     return call
@@ -537,99 +509,38 @@ def assoc_batched(cells, pw, mask, thres, cfg, mode, k=5,
         dict(packs=voxelmap._pack(cfg), voxel=float(cfg.voxel_size),
              stencil=stencil),
         float(scatter_ratio), interpret)
-    out = call(cells, slot, meta_q,
-               jnp.broadcast_to(jnp.asarray(thres, jnp.float32), (B,)),
-               jnp.arange(B, dtype=jnp.int32))
+    out = call(_gather_rows(cells, slot), meta_q,
+               jnp.broadcast_to(jnp.asarray(thres, jnp.float32), (B,)))
     return (out[..., 0:3], out[..., 3:6], out[..., 6] > 0.5,
             out[..., 7], out[..., 8])
 
 
-def _assoc_dual_kernel(slotg_ref, metag_ref, slotl_ref, metal_ref,
-                       thres_ref, bmapg_ref, bmapl_ref,
-                       cells_g_ref, cells_l_ref, out_ref,
-                       scratch, sems, need_smem, *,
-                       k, mode, params_g, params_l, scatter_ratio):
-    """Dual-tier association: global fit, then PER-POINT CONDITIONAL
-    local-map fetch+fit only where the global fit failed.
+def _assoc_dual_kernel(metag_ref, metal_ref, thres_ref, rowsg_ref,
+                       rowsl_ref, out_ref, *, k, mode, params_g, params_l,
+                       scatter_ratio):
+    """Dual-tier association from pre-gathered rows: global fit, local
+    (fine-leaf recent-history) fit, per-point merge.
 
-    The local (fine-leaf recent-history) tier exists to rescue the few
-    percent of points the persistent map cannot fit (Estimator.cpp:283-360
-    local branch); fetching its stencil rows for EVERY point doubled the
-    association DMA volume.  Here stage 2's row DMAs are issued under
-    `pl.when(need)` per point, so ~95% of local-tier traffic disappears in
-    the steady state.  Stale stage-1 rows left in scratch for non-needy
-    points are harmless: their local fit result is discarded by the
-    `valid_g` select (and their expected local epoch key almost never
-    matches a global row's meta anyway).
+    The local tier rescues the few percent of points the persistent map
+    cannot fit (Estimator.cpp:283-360 local branch).  Both tiers' rows
+    arrive pre-gathered by XLA (see `_assoc_kernel` for why the manual
+    conditional-DMA variant lost on hardware); fusing the two fits in ONE
+    kernel still saves a full launch + a second meta pipeline vs two
+    single-tier calls, and the merge select never touches HBM.
 
     out lanes per point: [mu(3), vec(3), valid(1), used_local(1), pad(8)].
     """
     bq = pl.program_id(0)
-    bg = bmapg_ref[bq, 0]
-    bl = bmapl_ref[bq, 0]
     thres = thres_ref[bq, 0]
 
-    def issue_g(i, _):
-        row = slotg_ref[0, i // 8, i % 8]
-        pltpu.make_async_copy(cells_g_ref.at[bg, row], scratch.at[i],
-                              sems.at[i // 8]).start()
-        return 0
-
-    jax.lax.fori_loop(0, GP * 8, issue_g, 0)
-
-    def wait_g(i, _):
-        row = slotg_ref[0, i // 8, i % 8]
-        pltpu.make_async_copy(cells_g_ref.at[bg, row], scratch.at[i],
-                              sems.at[i // 8]).wait()
-        return 0
-
-    jax.lax.fori_loop(0, GP * 8, wait_g, 0)
-
-    rows = scratch[:].reshape(GP, 8, 128)
     (gmux, gmuy, gmuz, gvx, gvy, gvz, _, _, _, g_t, _, g_fit) = _fit_rows(
-        rows, metag_ref[0], k=k, mode=mode, scatter_ratio=scatter_ratio,
-        **params_g)
+        rowsg_ref[0], metag_ref[0], k=k, mode=mode,
+        scatter_ratio=scatter_ratio, **params_g)
     valid_g = (g_fit > 0.0) & (g_t < thres)
 
-    # Per-point rescue flags into SMEM so the DMA loop can read scalars.
-    # Mosaic lowers only SCALAR stores to SMEM (no vector stores, and no
-    # dynamic lane extraction from a vector register), so each flag is
-    # extracted with a masked full-reduction — 128 reductions of a
-    # 128-lane vector, noise next to the 1024 row DMAs around it.
-    need_f = jnp.where(valid_g, 0.0, 1.0).reshape(1, GP)
-    lane_id = jax.lax.broadcasted_iota(jnp.int32, (1, GP), 1)
-
-    def write_need(i, _):
-        need_smem[0, i] = jnp.sum(
-            jnp.where(lane_id == i, need_f, 0.0)).astype(jnp.int32)
-        return 0
-
-    jax.lax.fori_loop(0, GP, write_need, 0)
-
-    def issue_l(i, _):
-        @pl.when(need_smem[0, i // 8] > 0)
-        def _():
-            row = slotl_ref[0, i // 8, i % 8]
-            pltpu.make_async_copy(cells_l_ref.at[bl, row], scratch.at[i],
-                                  sems.at[i // 8]).start()
-        return 0
-
-    jax.lax.fori_loop(0, GP * 8, issue_l, 0)
-
-    def wait_l(i, _):
-        @pl.when(need_smem[0, i // 8] > 0)
-        def _():
-            row = slotl_ref[0, i // 8, i % 8]
-            pltpu.make_async_copy(cells_l_ref.at[bl, row], scratch.at[i],
-                                  sems.at[i // 8]).wait()
-        return 0
-
-    jax.lax.fori_loop(0, GP * 8, wait_l, 0)
-
-    rows_l = scratch[:].reshape(GP, 8, 128)
     (lmux, lmuy, lmuz, lvx, lvy, lvz, _, _, _, l_t, _, l_fit) = _fit_rows(
-        rows_l, metal_ref[0], k=k, mode=mode, scatter_ratio=scatter_ratio,
-        **params_l)
+        rowsl_ref[0], metal_ref[0], k=k, mode=mode,
+        scatter_ratio=scatter_ratio, **params_l)
     valid_l = (~valid_g) & (l_fit > 0.0) & (l_t < thres)
 
     vgf = valid_g.astype(jnp.float32)
@@ -647,11 +558,10 @@ def _assoc_dual_kernel(slotg_ref, metag_ref, slotl_ref, metal_ref,
                             z, z, z, z, z, z, z, z], axis=-1)
 
 
-def _dual_pallas(cells_g, cells_l, slot_g, meta_g, slot_l, meta_l, thres,
-                 bmap_g, bmap_l, *, k, mode, params_g, params_l,
-                 scatter_ratio, interpret):
+def _dual_pallas(rows_g, rows_l, meta_g, meta_l, thres, *, k, mode,
+                 params_g, params_l, scatter_ratio, interpret):
     """Raw batched dual-tier launch (shapes as in `_assoc_pallas`)."""
-    B, M = slot_g.shape[:2]
+    B, M = rows_g.shape[:2]
     dtype = jnp.float32
     kern = functools.partial(
         _assoc_dual_kernel, k=k, mode=mode, params_g=params_g,
@@ -661,30 +571,20 @@ def _dual_pallas(cells_g, cells_l, slot_g, meta_g, slot_l, meta_l, thres,
         out_shape=jax.ShapeDtypeStruct((B, M, 16), dtype),
         grid=(B, M // GP),
         in_specs=[
-            pl.BlockSpec((1, GP, 8), lambda b, g: (b, g, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, GP, 8, 8), lambda b, g: (b, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GP, 8), lambda b, g: (b, g, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, GP, 8, 8), lambda b, g: (b, g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, GP, 8, 128), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, GP, 8, 128), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, GP, 16), lambda b, g: (b, g, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((GP * 8, 128), dtype),
-                        pltpu.SemaphoreType.DMA((GP,)),
-                        pltpu.SMEM((1, GP), jnp.int32)],
         interpret=interpret,
-    )(slot_g, meta_g, slot_l, meta_l,
-      thres.astype(dtype).reshape(B, 1),
-      bmap_g.astype(jnp.int32).reshape(B, 1),
-      bmap_l.astype(jnp.int32).reshape(B, 1), cells_g, cells_l)
+    )(meta_g, meta_l, thres.astype(dtype).reshape(B, 1), rows_g, rows_l)
     return out
 
 
@@ -692,25 +592,20 @@ def _dual_call(k, mode, params_g, params_l, scatter_ratio, interpret):
     """custom_vmap-wrapped dual-tier launch (statics closed over)."""
 
     @custom_batching.custom_vmap
-    def call(cells_g, cells_l, slot_g, meta_g, slot_l, meta_l, thres,
-             bmap_g, bmap_l):
-        return _dual_pallas(cells_g, cells_l, slot_g, meta_g, slot_l,
-                            meta_l, thres, bmap_g, bmap_l, k=k, mode=mode,
-                            params_g=params_g, params_l=params_l,
-                            scatter_ratio=scatter_ratio,
-                            interpret=interpret)
+    def call(rows_g, rows_l, meta_g, meta_l, thres):
+        return _dual_pallas(rows_g, rows_l, meta_g, meta_l, thres, k=k,
+                            mode=mode, params_g=params_g, params_l=params_l,
+                            scatter_ratio=scatter_ratio, interpret=interpret)
 
     @call.def_vmap
-    def _rule(axis_size, in_batched, cells_g, cells_l, slot_g, meta_g,
-              slot_l, meta_l, thres, bmap_g, bmap_l):
-        cgb, clb, sgb, mgb, slb, mlb, tb, bgb, blb = in_batched
-        B0 = slot_g.shape[1] if sgb else slot_g.shape[0]
-        cells_g2, bmap_g2 = _fold_cells(cells_g, cgb, bmap_g, bgb, axis_size)
-        cells_l2, bmap_l2 = _fold_cells(cells_l, clb, bmap_l, blb, axis_size)
-        out = call(cells_g2, cells_l2,
-                   _fold(slot_g, sgb, axis_size), _fold(meta_g, mgb, axis_size),
-                   _fold(slot_l, slb, axis_size), _fold(meta_l, mlb, axis_size),
-                   _fold(thres, tb, axis_size), bmap_g2, bmap_l2)
+    def _rule(axis_size, in_batched, rows_g, rows_l, meta_g, meta_l, thres):
+        rgb, rlb, mgb, mlb, tb = in_batched
+        B0 = rows_g.shape[1] if rgb else rows_g.shape[0]
+        out = call(_fold(rows_g, rgb, axis_size),
+                   _fold(rows_l, rlb, axis_size),
+                   _fold(meta_g, mgb, axis_size),
+                   _fold(meta_l, mlb, axis_size),
+                   _fold(thres, tb, axis_size))
         return out.reshape((axis_size, B0) + out.shape[1:]), True
 
     return call
@@ -720,7 +615,7 @@ def _dual_call(k, mode, params_g, params_l, scatter_ratio, interpret):
                                              "scatter_ratio", "interpret"))
 def assoc_dual_batched(cells_g, cells_l, pw, mask, thres, cfg_g, cfg_l,
                        mode, k=5, scatter_ratio=0.0, interpret=None):
-    """Dual-tier fused association: global map + conditional local rescue.
+    """Dual-tier fused association: global map + local-map rescue merge.
 
     cells_g/cells_l: (B, Cs, 128); pw: (B, M, 3); mask: (B, M); thres:
     traced squared-distance gate (the member-variable schedule value) —
@@ -748,9 +643,8 @@ def assoc_dual_batched(cells_g, cells_l, pw, mask, thres, cfg_g, cfg_l,
 
     call = _dual_call(k, mode, params(cfg_g), params(cfg_l),
                       float(scatter_ratio), interpret)
-    bmap = jnp.arange(B, dtype=jnp.int32)
-    out = call(cells_g, cells_l, slot_g, meta_g, slot_l, meta_l,
-               jnp.broadcast_to(jnp.asarray(thres, jnp.float32), (B,)),
-               bmap, bmap)
+    out = call(_gather_rows(cells_g, slot_g), _gather_rows(cells_l, slot_l),
+               meta_g, meta_l,
+               jnp.broadcast_to(jnp.asarray(thres, jnp.float32), (B,)))
     return (out[..., 0:3], out[..., 3:6], out[..., 6] > 0.5,
             out[..., 7] > 0.5)

@@ -50,4 +50,8 @@ def _clear_jax_caches_between_modules():
 
 def pytest_configure(config):
     config.addinivalue_line(
-        "markers", "slow: full-scale (flagship-config) tests, minutes-long")
+        "markers", "slow: tests over ~60 s each (flagship configs, "
+        "end-to-end replays); full suite ~65 min, -m 'not slow' ~10 min")
+    config.addinivalue_line(
+        "markers", "smoke: <2 min tier, one fast test per layer "
+        "(pytest -m smoke)")

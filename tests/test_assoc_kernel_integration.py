@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from mmloam_tpu.config import tiny_config
 from mmloam_tpu.estimator import factors
 from tests.test_pallas_assoc import _build, _queries
+import pytest
 
 
 def _run_both(monkeypatch, assoc_fn, *args, **kwargs):
@@ -23,6 +24,7 @@ def _run_both(monkeypatch, assoc_fn, *args, **kwargs):
     return outs[False], outs[True]
 
 
+@pytest.mark.smoke
 def test_plane_dispatch_matches(monkeypatch):
     cfg, vm, world, rng = _build()
     pw, mask = _queries(world, rng, M=256)

@@ -9,6 +9,7 @@ from mmloam_tpu import pipeline, replay
 from mmloam_tpu.config import tiny_config
 from mmloam_tpu.data import export, synthetic
 from mmloam_tpu.ops import voxelmap
+import pytest
 
 CFG = tiny_config()
 
@@ -25,6 +26,7 @@ def make_batch(B, n=8):
     return replay.stack_states(states), replay.stack_sequences(seqs), seqs
 
 
+@pytest.mark.slow
 def test_batched_matches_individual():
     bs, bsc, seqs = make_batch(2, n=6)
     _, bouts = replay.replay_batch(bs, bsc, CFG)
@@ -37,6 +39,7 @@ def test_batched_matches_individual():
                                    np.array(o.pose_p), atol=1e-2)
 
 
+@pytest.mark.slow
 def test_sharded_over_mesh():
     assert len(jax.devices()) == 8, "conftest should give 8 virtual devices"
     mesh = Mesh(np.array(jax.devices()), ("seq",))

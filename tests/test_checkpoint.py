@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 
 from mmloam_tpu import checkpoint, metrics, pipeline, replay
 from mmloam_tpu.config import tiny_config
@@ -10,6 +11,7 @@ from mmloam_tpu.data import synthetic
 CFG = tiny_config()
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     world = synthetic.default_world()
     traj = synthetic.Trajectory(speed=0.8, z_amp=0.15)

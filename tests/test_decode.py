@@ -60,6 +60,7 @@ def sequence_to_bag(scans, path, t0=100.0):
     bagwriter.write_bag(path, msgs)
 
 
+@pytest.mark.slow
 def test_bag_ingest_matches_direct(tmp_path):
     from mmloam_tpu.data.rosbag import BagReader
 

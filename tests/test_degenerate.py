@@ -12,6 +12,7 @@ import numpy as np
 from mmloam_tpu import pipeline, replay
 from mmloam_tpu.data import synthetic
 from mmloam_tpu.config import tiny_config
+import pytest
 
 CFG = tiny_config()
 
@@ -49,6 +50,7 @@ class Straight(synthetic.Trajectory):
         return np.zeros(np.shape(np.asarray(t)))
 
 
+@pytest.mark.slow
 def test_corridor_flags_degenerate():
     world = corridor_world()
     scans, gt_R, gt_p = replay.make_sequence(world, Straight(1.0), 0.0, 15,
@@ -78,6 +80,7 @@ def test_corridor_flags_degenerate():
     assert np.abs(p[:, 2]).max() < 8.0, p[:, 2]   # bounded wander, no runaway
 
 
+@pytest.mark.slow
 def test_box_room_not_degenerate():
     world = synthetic.default_world()
     scans, _, _ = replay.make_sequence(world, Straight(0.8), 0.0, 12, CFG,

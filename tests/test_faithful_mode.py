@@ -15,8 +15,10 @@ import numpy as np
 from mmloam_tpu import pipeline, replay
 from mmloam_tpu.config import faithful_config, tiny_config
 from mmloam_tpu.data import synthetic
+import pytest
 
 
+@pytest.mark.slow
 def test_faithful_mode_tracks():
     cfg = faithful_config(tiny_config())
     world = synthetic.default_world()

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 
 from mmloam_tpu.config import tiny_config
 from mmloam_tpu.ops.features import extract_line_features, extract_scan_features
+import pytest
 
 CFG = tiny_config()
 N = 256
@@ -57,6 +58,7 @@ def test_flat_wall_yields_surfs_no_corners():
     assert (labels == 1).sum() == 0, "no corners on a flat wall"
 
 
+@pytest.mark.smoke
 def test_corner_fold_detected():
     pts = corner_fold_line()
     labels = np.array(extract_line_features(*pad(pts), CFG))

@@ -13,10 +13,12 @@ import numpy as np
 from mmloam_tpu import pipeline, replay
 from mmloam_tpu.config import tiny_config
 from mmloam_tpu.data import synthetic
+import pytest
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "hall_25.npz")
 
 
+@pytest.mark.slow
 def test_golden_hall_trajectory():
     CFG = tiny_config()
     world = synthetic.default_world()

@@ -7,6 +7,7 @@ import numpy as np
 from mmloam_tpu import pipeline, replay
 from mmloam_tpu.config import tiny_config
 from mmloam_tpu.data import synthetic
+import pytest
 
 BASE = tiny_config()
 # the synthetic hall yields fewer Horizon corners than a real scene; scale
@@ -25,6 +26,7 @@ def run(traj, n=10, cfg=CFG, **kw):
     return outs, gt_R, gt_p
 
 
+@pytest.mark.slow
 def test_hori_merges_when_slow():
     outs, gt_R, gt_p = run(synthetic.Trajectory(speed=0.8, yaw_rate=0.05))
     merged = np.array(outs.hori_merged)
@@ -39,6 +41,7 @@ def test_hori_merges_when_slow():
     assert np.sqrt((err ** 2).sum(1).mean()) < 0.3
 
 
+@pytest.mark.slow
 def test_fast_rotation_gates():
     # constant 2 rad/s spin > velo_rotate_th (1.5): fast-rotation flag set
     # and the Horizon merge suppressed
@@ -57,6 +60,7 @@ def test_fast_rotation_gates():
     assert not (merged & fr).any()
 
 
+@pytest.mark.slow
 def test_velo_only_mode_ignores_hori():
     cfg = CFG.replace(velo_only_mode=True)
     outs, _, _ = run(synthetic.Trajectory(speed=0.8, yaw_rate=0.05), cfg=cfg)

@@ -14,6 +14,7 @@ import jax
 from mmloam_tpu import pipeline, replay
 from mmloam_tpu.config import tiny_config
 from mmloam_tpu.data import synthetic
+import pytest
 
 
 def _run(imu_mode, zero_acc=False, zero_gyr=False, n_scans=15):
@@ -37,6 +38,7 @@ def _run(imu_mode, zero_acc=False, zero_gyr=False, n_scans=15):
     return outs, rmse
 
 
+@pytest.mark.slow
 def test_gyro_only_mode_tracks_without_init():
     outs, rmse = _run(imu_mode=1, zero_acc=True)
     assert not bool(outs.inited[-1]), "IMU_Mode=1 must never initialize"
@@ -47,6 +49,7 @@ def test_gyro_only_mode_tracks_without_init():
     assert rmse < 0.6, f"gyro-only ATE RMSE {rmse}"
 
 
+@pytest.mark.slow
 def test_no_imu_mode_tracks_without_init():
     outs, rmse = _run(imu_mode=0, zero_acc=True, zero_gyr=True)
     assert not bool(outs.inited[-1]), "IMU_Mode=0 must never initialize"

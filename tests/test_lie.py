@@ -35,6 +35,7 @@ def test_exp_quat_matches_scipy():
     np.testing.assert_allclose(q * sign, q_ref * np.sign(q_ref[:, :1])**2, atol=1e-9)
 
 
+@pytest.mark.smoke
 def test_log_roundtrip_matrix():
     phi = rand_rotvecs(128)
     out = np.asarray(lie.log_matrix(lie.exp_matrix(jnp.asarray(phi, jnp.float64))))

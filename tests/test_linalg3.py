@@ -4,6 +4,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from mmloam_tpu.ops import linalg3
+import pytest
 
 
 def rand_sym(rng, n=200, scale=1.0):
@@ -11,6 +12,7 @@ def rand_sym(rng, n=200, scale=1.0):
     return (A + A.transpose(0, 2, 1)) / 2
 
 
+@pytest.mark.smoke
 def test_eigvalsh3_matches_numpy():
     rng = np.random.default_rng(0)
     A = rand_sym(rng)

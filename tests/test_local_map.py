@@ -31,6 +31,7 @@ from mmloam_tpu.config import tiny_config
 from mmloam_tpu.data import synthetic
 from mmloam_tpu.estimator import factors
 from mmloam_tpu.ops import voxelmap as vx
+import pytest
 
 
 def crate_world(rng, n=30, clearance=3.5):
@@ -110,6 +111,7 @@ def _run(use_local, n_scans=20):
     return outs, rmse, float(n_plane.mean()) if n_plane.size else 0.0
 
 
+@pytest.mark.slow
 def test_tier_end_to_end_ab():
     outs_a, rmse_a, planes_a = _run(use_local=True)
     outs_b, rmse_b, planes_b = _run(use_local=False)
@@ -122,6 +124,7 @@ def test_tier_end_to_end_ab():
     assert rmse_a < 0.3, rmse_a
 
 
+@pytest.mark.slow
 def test_local_map_retention_is_bounded():
     """The fine torus ages out old history (the 50-frame-ring analogue):
     cells far behind the pose alias out, so occupancy stays bounded."""

@@ -13,6 +13,7 @@ import numpy as np
 from mmloam_tpu import pipeline, replay
 from mmloam_tpu.config import tiny_config
 from mmloam_tpu.data import synthetic
+import pytest
 
 
 class Cruise(synthetic.Trajectory):
@@ -66,6 +67,7 @@ class Cruise(synthetic.Trajectory):
         return np.zeros(np.shape(np.asarray(t)))
 
 
+@pytest.mark.slow
 def test_drive_past_torus_period():
     CFG = tiny_config()
     period_x = CFG.map.dim_x * CFG.map.voxel_size      # 38.4 m

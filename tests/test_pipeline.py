@@ -7,6 +7,7 @@ import jax.numpy as jnp
 from mmloam_tpu import pipeline, replay
 from mmloam_tpu.config import tiny_config
 from mmloam_tpu.data import synthetic
+import pytest
 
 CFG = tiny_config()
 
@@ -22,6 +23,7 @@ def run_sequence(n_scans=20, speed=0.8, **kw):
     return state, outs, gt_R, gt_p
 
 
+@pytest.mark.slow
 def test_lio_tracks_trajectory():
     state, outs, gt_R, gt_p = run_sequence(n_scans=25)
     # init must have happened (keyframes every 3 scans, 3 keyframes + solve)
@@ -38,6 +40,7 @@ def test_lio_tracks_trajectory():
     assert np.isfinite(p).all()
 
 
+@pytest.mark.slow
 def test_pipeline_is_scan_invariant():
     """Replaying via lax.scan must match step-by-step Python iteration."""
     world = synthetic.default_world()
@@ -57,6 +60,7 @@ def test_pipeline_is_scan_invariant():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_static_scans_stay_put():
     """Zero motion + clean IMU -> pose stays at origin."""
     world = synthetic.default_world()
@@ -90,6 +94,7 @@ def test_static_scans_stay_put():
     assert drift[10:].max() < 0.05, f"steady static drift {drift}"
 
 
+@pytest.mark.slow
 def test_nonfeature_path():
     """cfg.use_nonfeature maintains the non-feature map and solves with the
     extra 1-dim plane factors (processNonFeatureICP parity)."""

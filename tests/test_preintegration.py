@@ -7,6 +7,7 @@ from scipy.spatial.transform import Rotation
 
 from mmloam_tpu.config import ImuConfig
 from mmloam_tpu.ops import preintegration as pi
+import pytest
 
 CFG = ImuConfig(max_samples=32)
 RNG = np.random.default_rng(1)
@@ -186,6 +187,7 @@ def test_sqrt_info_f32_conditioning():
     np.testing.assert_allclose(np.diag(recon), np.ones(15), rtol=0.05)
 
 
+@pytest.mark.smoke
 def test_parallel_matches_sequential():
     """The log-depth formulation must reproduce the reference-shaped
     sequential scan bit-for-bit up to f32 roundoff."""

@@ -83,6 +83,7 @@ def test_roundtrip(tmp_path):
     bag.close()
 
 
+@pytest.mark.smoke
 def test_vendor_layouts_roundtrip(tmp_path):
     """Ouster (u32 ns `t`, u8 ring) and Hesai (f64 ABSOLUTE `timestamp`)
     layouts decode with correct ring + per-point relative time; the Hesai

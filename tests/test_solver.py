@@ -10,6 +10,7 @@ from mmloam_tpu.data import synthetic
 from mmloam_tpu.estimator import estimate, factors, reduced, solver
 from mmloam_tpu.ops import voxelmap as vx
 from mmloam_tpu.ops.preintegration import preintegrate, sqrt_info_from_cov
+import pytest
 
 CFG = tiny_config()
 RBL = jnp.eye(3, dtype=jnp.float64)
@@ -77,6 +78,7 @@ def x_from_pose(R, t):
     return x
 
 
+@pytest.mark.slow
 def test_single_frame_pose_recovery():
     rng = np.random.default_rng(0)
     world, vm_surf, vm_corner = build_world_maps(rng)

@@ -19,6 +19,7 @@ import numpy as np
 from mmloam_tpu import pipeline, replay
 from mmloam_tpu.config import tiny_config
 from mmloam_tpu.data import synthetic
+import pytest
 
 CFG = tiny_config()
 N_SCANS = 25
@@ -69,6 +70,7 @@ class Spin(synthetic.Trajectory):
         return np.full(np.shape(np.asarray(t)), self._rate)
 
 
+@pytest.mark.slow
 def test_forest_feature_churn():
     outs, rmse = _replay(clutter_world(), synthetic.Trajectory(speed=0.8),
                          range_noise=0.003, seed=11)

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 
 from mmloam_tpu.config import tiny_config
 from mmloam_tpu.ops import voxelmap as vx
+import pytest
 
 CFG = tiny_config().map  # 64x64x32 cells, 0.4 m leaf
 
@@ -37,6 +38,7 @@ def test_masked_points_dropped():
     assert float(vm.count.sum()) == 1.0
 
 
+@pytest.mark.smoke
 def test_knn_matches_bruteforce():
     rng = np.random.default_rng(1)
     pts = rng.uniform(-5, 5, (400, 3)).astype(np.float32)
