@@ -264,10 +264,14 @@ class LIOConfig:
                                      dim_z=32)
     use_local_map: bool = True
     # fused Pallas association kernel on TPU (ops/pallas_assoc.py); False
-    # falls back to the XLA gather association everywhere.  Escape hatch
-    # for Mosaic lowering regressions — the CPU/test backend always uses
-    # the XLA path regardless (factors._kernel_ok).
-    use_pallas_assoc: bool = True
+    # uses the XLA gather association everywhere.  Default OFF: measured
+    # on v5e at flagship shapes (r3, BASELINE.md) the XLA path wins
+    # end-to-end (121.7 vs 117.3 scans/sec/chip with the gathered-rows
+    # kernel; the earlier manual-DMA kernel variant was 2x slower than
+    # XLA).  The kernel remains maintained + hardware-verified as the
+    # fallback-probed option (factors.py lowering probes); the CPU/test
+    # backend always uses the XLA path regardless (factors._kernel_ok).
+    use_pallas_assoc: bool = False
     solver: SolverConfig = SolverConfig()
     failsafe: FailsafeConfig = FailsafeConfig()
     velo_only_mode: bool = False     # reference: Velo_Only_Mode rosparam
