@@ -212,6 +212,16 @@ class SolverConfig:
     # maximally fresh; faithful_config() restores the reference's gate.
     local_map_move_gate: bool = False
     map_move_dist_sq: float = 0.5    # local-map min move (m^2) (:1083,:1125)
+    # LOCAL-tier rescue buffer, as a fraction of each stack's size: points
+    # whose persistent-map association fails are compacted (first-come) to
+    # ceil(frac * M) queries before the local-tier stencil gather — the
+    # gather is association's dominant cost and steady-state failure rates
+    # are a few percent, so most of the local tier's row traffic vanishes.
+    # The cap binds only during the first scans (sparse maps), where the
+    # rescued factors already over-constrain the pose.  >= 1.0 disables
+    # the compaction (reference-equivalent: the kd-tree local fallback
+    # runs for every failed point, Estimator.cpp:283-360).
+    local_rescue_frac: float = 0.5
 
 
 @dataclass(frozen=True)
@@ -361,6 +371,8 @@ def faithful_config(base: LIOConfig | None = None) -> LIOConfig:
       (unionPoseEstimation.cpp:577-578).
     * solver.local_map_move_gate=True — MapIncrementLocal only after
       >= 0.5 m^2 of motion (Estimator.cpp:1083,:1125).
+    * solver.local_rescue_frac=1.0 — the local-map fallback runs for
+      every failed point, uncapped (Estimator.cpp:283-360).
 
     Not toggleable: the init velocity prior's trapezoidal two-state form
     (initializer.py) — it shares the factor structure, not a flag; its
@@ -380,4 +392,5 @@ def faithful_config(base: LIOConfig | None = None) -> LIOConfig:
             init_radius=1.0e4,
             gravity_refine_every=0,
             local_map_move_gate=True,
+            local_rescue_frac=1.0,
         ))

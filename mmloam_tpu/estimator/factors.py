@@ -121,6 +121,26 @@ def _plane_from_kernel(pw, mask, vm, mcfg, thres_dist, k, cfg):
     return proj, omega, valid
 
 
+def _rescue_cap(M, frac):
+    """Static local-rescue buffer size: ceil(M * frac) rounded up to 128."""
+    mr = int(M * frac + 0.999)
+    return min(M, max(128, (mr + 127) // 128 * 128))
+
+
+def _compact_indices(fail, Mr):
+    """Indices of the first Mr True entries of `fail` (M,), padded with M.
+
+    One cumsum + one small scatter — the prefix-compaction idiom (same as
+    ops/downsample's slot compaction).  Returns sel (Mr,) int32.
+    """
+    M = fail.shape[0]
+    pos = jnp.cumsum(fail.astype(jnp.int32)) - 1
+    dst = jnp.where(fail & (pos < Mr), pos, Mr)
+    sel = jnp.full((Mr,), M, jnp.int32).at[dst].set(
+        jnp.arange(M, dtype=jnp.int32), mode="drop")
+    return sel
+
+
 def _neighbor_moments(vm, pw, mask, mcfg, knn):
     """k-nearest selection + first/second moments of (centroid - query).
 
@@ -195,8 +215,11 @@ def associate_lines(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
                 and pallas_assoc.single_lowers(vmi.cells.shape, M, mcfg,
                                                mode=1, k=k)):
             return _line_from_kernel(pw, mask, vmi, mcfg, thres_dist, k)
-        t_k, n, s1, s2, _ = _neighbor_moments(vmi, pw, mask, mcfg, k)
-        return _line_fit(pw, mask, t_k, n, s1, s2, thres_dist, k)
+        return one_map_sub(vmi, mcfg, pw, mask)
+
+    def one_map_sub(vmi, mcfg, pwq, maskq):
+        t_k, n, s1, s2, _ = _neighbor_moments(vmi, pwq, maskq, mcfg, k)
+        return _line_fit(pwq, maskq, t_k, n, s1, s2, thres_dist, k)
 
     dual_kernel = (vm_local is not None and cfg.use_pallas_assoc
                    and _kernel_ok(cfg.map, M) and _kernel_ok(cfg.local_map, M)
@@ -209,11 +232,30 @@ def associate_lines(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
         return LineTargets(p_l=p_l, c=pw + mu, u=u, valid=valid)
     c, u, valid = one_map(vm, cfg.map)
     if vm_local is not None:
-        c2, u2, valid2 = one_map(vm_local, cfg.local_map)
-        use2 = (~valid & valid2)[:, None]
-        c = jnp.where(use2, c2, c)
-        u = jnp.where(use2, u2, u)
-        valid = valid | valid2
+        frac = cfg.solver.local_rescue_frac
+        Mr = _rescue_cap(M, frac)
+        if Mr >= M:
+            c2, u2, valid2 = one_map(vm_local, cfg.local_map)
+            use2 = (~valid & valid2)[:, None]
+            c = jnp.where(use2, c2, c)
+            u = jnp.where(use2, u2, u)
+            valid = valid | valid2
+        else:
+            # conditional rescue: the local tier's stencil rows are
+            # gathered ONLY for points whose persistent fit failed,
+            # compacted to a fixed Mr buffer (the row gather dominates
+            # association cost; steady-state failure rates are far below
+            # frac, so the cap only binds during the first scans, where
+            # Mr rescued factors already over-constrain the 6-DoF pose)
+            sel = _compact_indices(mask & ~valid, Mr)
+            pw_r = pw.at[sel].get(mode="fill", fill_value=0.0)
+            mask_r = sel < M
+            c2, u2, valid2 = one_map_sub(vm_local, cfg.local_map, pw_r,
+                                         mask_r)
+            sel_ok = jnp.where(valid2, sel, M)
+            c = c.at[sel_ok].set(c2, mode="drop")
+            u = u.at[sel_ok].set(u2, mode="drop")
+            valid = valid.at[sel_ok].set(True, mode="drop")
     return LineTargets(p_l=p_l, c=c, u=u, valid=valid)
 
 
@@ -317,8 +359,12 @@ def associate_planes(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
                     scatter_ratio=cfg.solver.plane_scatter_ratio)):
             return _plane_from_kernel(pw, mask, vmi, mcfg, thres_dist, k,
                                       cfg)
-        t_k, n, s1, s2, blk = _neighbor_moments(vmi, pw, mask, mcfg, k)
-        return _plane_fit(pw, mask, t_k, n, s1, s2, blk, thres_dist, k, cfg)
+        return one_map_sub(vmi, mcfg, pw, mask)
+
+    def one_map_sub(vmi, mcfg, pwq, maskq):
+        t_k, n, s1, s2, blk = _neighbor_moments(vmi, pwq, maskq, mcfg, k)
+        return _plane_fit(pwq, maskq, t_k, n, s1, s2, blk, thres_dist, k,
+                          cfg)
 
     dual_kernel = (vm_local is not None and cfg.use_pallas_assoc
                    and _kernel_ok(cfg.map, M) and _kernel_ok(cfg.local_map, M)
@@ -334,11 +380,26 @@ def associate_planes(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
     else:
         proj, omega, valid = one_map(vm, cfg.map)
         if vm_local is not None:
-            proj2, omega2, valid2 = one_map(vm_local, cfg.local_map)
-            use2 = ~valid & valid2
-            proj = jnp.where(use2[:, None], proj2, proj)
-            omega = jnp.where(use2[:, None], omega2, omega)
-            valid = valid | valid2
+            frac = cfg.solver.local_rescue_frac
+            Mr = _rescue_cap(M, frac)
+            if Mr >= M:
+                proj2, omega2, valid2 = one_map(vm_local, cfg.local_map)
+                use2 = ~valid & valid2
+                proj = jnp.where(use2[:, None], proj2, proj)
+                omega = jnp.where(use2[:, None], omega2, omega)
+                valid = valid | valid2
+            else:
+                # conditional rescue (see associate_lines): local-tier rows
+                # gathered only for the compacted persistent-fit failures
+                sel = _compact_indices(mask & ~valid, Mr)
+                pw_r = pw.at[sel].get(mode="fill", fill_value=0.0)
+                mask_r = sel < M
+                proj2, omega2, valid2 = one_map_sub(vm_local, cfg.local_map,
+                                                    pw_r, mask_r)
+                sel_ok = jnp.where(valid2, sel, M)
+                proj = proj.at[sel_ok].set(proj2, mode="drop")
+                omega = omega.at[sel_ok].set(omega2, mode="drop")
+                valid = valid.at[sel_ok].set(True, mode="drop")
 
     basis = jax.vmap(_plane_basis)(omega)         # (K,3,3)
     w = jnp.array([1.0, weight_tan, weight_tan], pw.dtype)
@@ -494,31 +555,32 @@ def imu_residual_and_jac(xi, xj, meas, gravity):
     Jr_i = lie.right_jacobian(phii)
     Jr_j = lie.right_jacobian(phij)
     Jinv = lie.right_jacobian_inv(rPhi)
-    I3 = jnp.eye(3, dtype=dtype)
     Z3 = jnp.zeros((3, 3), dtype)
+    I6 = jnp.eye(6, dtype=dtype)
+    Z69 = jnp.zeros((6, 9), dtype)
 
-    J = jnp.zeros((15, 30), dtype)
+    # J built by block concatenation (columns: Pi phii Vi bgi bai | Pj
+    # phij Vj bgj baj).  The former .at[].set chain lowered to 12
+    # dynamic-update-slices PER FACTOR PER LM ITERATION — measured ~170 ms
+    # of pure DUS in the flagship solver loop; concatenation folds into
+    # the surrounding fusions.
     # rP rows
-    J = J.at[0:3, 0:3].set(-RiT)
-    J = J.at[0:3, 3:6].set(lie.hat(RiT @ u_p) @ Jr_i)
-    J = J.at[0:3, 6:9].set(-RiT * dt)
-    J = J.at[0:3, 9:12].set(-J_p_bg)
-    J = J.at[0:3, 12:15].set(-J_p_ba)
-    J = J.at[0:3, 15:18].set(RiT)
+    rowP = jnp.concatenate(
+        [-RiT, lie.hat(RiT @ u_p) @ Jr_i, -RiT * dt, -J_p_bg, -J_p_ba,
+         RiT, Z3, Z3, Z3, Z3], axis=1)
     # rPhi rows: M(phii + d) = M Exp(-(Rj^T Ri Jr_i) d),
     # M(phij + d) = M Exp(Jr_j d), M(bgi + d) = Exp(-(Jr(eps) J_r_bg) d) M
-    J = J.at[3:6, 3:6].set(-Jinv @ Rj.T @ Ri @ Jr_i)
-    J = J.at[3:6, 18:21].set(Jinv @ Jr_j)
-    J = J.at[3:6, 9:12].set(-Jinv @ M.T @ lie.right_jacobian(eps) @ J_r_bg)
+    rowR = jnp.concatenate(
+        [Z3, -Jinv @ Rj.T @ Ri @ Jr_i, Z3,
+         -Jinv @ M.T @ lie.right_jacobian(eps) @ J_r_bg, Z3,
+         Z3, Jinv @ Jr_j, Z3, Z3, Z3], axis=1)
     # rV rows
-    J = J.at[6:9, 3:6].set(lie.hat(RiT @ u_v) @ Jr_i)
-    J = J.at[6:9, 6:9].set(-RiT)
-    J = J.at[6:9, 9:12].set(-J_v_bg)
-    J = J.at[6:9, 12:15].set(-J_v_ba)
-    J = J.at[6:9, 21:24].set(RiT)
+    rowV = jnp.concatenate(
+        [Z3, lie.hat(RiT @ u_v) @ Jr_i, -RiT, -J_v_bg, -J_v_ba,
+         Z3, Z3, RiT, Z3, Z3], axis=1)
     # bias random-walk rows
-    J = J.at[9:15, 9:15].set(-jnp.eye(6, dtype=dtype))
-    J = J.at[9:15, 24:30].set(jnp.eye(6, dtype=dtype))
+    rowB = jnp.concatenate([Z69, -I6, Z69, I6], axis=1)
+    J = jnp.concatenate([rowP, rowR, rowV, rowB], axis=0)
 
     S = meas["sqrt_info"]
     return S @ r_raw, S @ J

@@ -97,8 +97,10 @@ def _assemble(x, H6, b6, H30, b30, Hp, bp, frame_valid):
     W = x.shape[0]
     dtype = x.dtype
     Z = jnp.zeros((15, 15), dtype)
-    H6e = jnp.zeros((W, 15, 15), dtype).at[:, 0:6, 0:6].set(H6)
-    b6e = jnp.zeros((W, 15), dtype).at[:, 0:6].set(b6)
+    # pad (not .at[].set on zeros: that lowers to a dynamic-update-slice
+    # executed every LM iteration; pad folds into the consumer fusion)
+    H6e = jnp.pad(H6, ((0, 0), (0, 9), (0, 9)))
+    b6e = jnp.pad(b6, ((0, 0), (0, 9)))
 
     rows = []
     for i in range(W):

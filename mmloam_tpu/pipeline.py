@@ -240,21 +240,26 @@ class FrameStack(NamedTuple):
 
 
 def _build_stacks(flat_pts, flat_labels, flat_valid, cfg, dtype):
-    """Label split + voxel downsample into one frame's fixed stacks."""
+    """Label split + voxel downsample into one frame's fixed stacks.
+
+    All classes share ONE two-pass multi-class scatter (the label masks
+    are disjoint) — see ops/downsample.voxel_downsample_multi.
+    """
     sc = cfg.scan
-    corner, cmask, _ = downsample.voxel_downsample(
-        flat_pts, flat_valid & (flat_labels == 1), sc.filter_corner,
-        sc.max_corner)
-    surf, smask, _ = downsample.voxel_downsample(
-        flat_pts, flat_valid & (flat_labels == 2), sc.filter_surf,
-        sc.max_surf)
-    extra = {}
+    masks = [flat_valid & (flat_labels == 1), flat_valid & (flat_labels == 2)]
+    leaves = [sc.filter_corner, sc.filter_surf]
+    caps = [sc.max_corner, sc.max_surf]
     if cfg.use_nonfeature:
         # residual unclassified points (the reference's intended
         # non-feature class; its extractor leaves these unlabeled)
-        non, nmask, _ = downsample.voxel_downsample(
-            flat_pts, flat_valid & (flat_labels == 0),
-            sc.filter_nonfeature, sc.max_nonfeature)
+        masks.append(flat_valid & (flat_labels == 0))
+        leaves.append(sc.filter_nonfeature)
+        caps.append(sc.max_nonfeature)
+    outs = downsample.voxel_downsample_multi(flat_pts, masks, leaves, caps)
+    (corner, cmask, _), (surf, smask, _) = outs[0], outs[1]
+    extra = {}
+    if cfg.use_nonfeature:
+        non, nmask, _ = outs[2]
         extra = dict(non=non.astype(dtype), non_mask=nmask)
     return FrameStack(corner=corner.astype(dtype), corner_mask=cmask,
                       surf=surf.astype(dtype), surf_mask=smask, **extra)

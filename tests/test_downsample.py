@@ -1,0 +1,93 @@
+"""Unit tests for ops/downsample (voxel-grid stack downsampling).
+
+The reference behavior being matched is PCL VoxelGrid per feature stack
+(Estimator.cpp:76-80, :1012-1026): one centroid per occupied leaf.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mmloam_tpu.ops import downsample
+
+
+def _ref_voxelgrid(pts, mask, leaf):
+    """Exact per-voxel centroids (numpy oracle)."""
+    pts = np.asarray(pts)[np.asarray(mask)]
+    v = np.floor(pts / leaf).astype(np.int64)
+    cents = {}
+    for p, vi in zip(pts, map(tuple, v)):
+        cents.setdefault(vi, []).append(p)
+    return {k: np.mean(np.stack(ps), axis=0) for k, ps in cents.items()}
+
+
+def _as_set(out, mask, decimals=4):
+    out = np.asarray(out)[np.asarray(mask)]
+    return {tuple(np.round(p, decimals)) for p in out}
+
+
+@pytest.mark.smoke
+def test_single_class_matches_oracle():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-5, 5, (500, 3)).astype(np.float32)
+    mask = rng.uniform(size=500) < 0.8
+    leaf = 0.4
+    out, omask, n = downsample.voxel_downsample(
+        jnp.asarray(pts), jnp.asarray(mask), leaf, 512)
+    ref = _ref_voxelgrid(pts, mask, leaf)
+    got = _as_set(out, omask)
+    want = {tuple(np.round(c, 4)) for c in ref.values()}
+    # hash collisions may DROP voxels (never corrupt them): every emitted
+    # centroid must be an exact voxel centroid; the drop rate is bounded
+    # by the birthday collision rate of the 8192-slot table (~2x pairs)
+    assert got <= want
+    assert len(got) >= 0.9 * len(want)
+    assert int(n) == len(got)
+
+
+def test_multi_matches_single_calls():
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.uniform(-8, 8, (2000, 3)).astype(np.float32))
+    labels = rng.integers(0, 3, 2000)
+    masks = [jnp.asarray(labels == 1), jnp.asarray(labels == 2)]
+    leaves = [0.4, 0.2]
+    caps = [256, 1024]
+    multi = downsample.voxel_downsample_multi(pts, masks, leaves, caps)
+    for (mo, mm, mn), mask, leaf, cap in zip(multi, masks, leaves, caps):
+        so, sm, sn = downsample.voxel_downsample(pts, mask, leaf, cap)
+        assert int(mn) == int(sn)
+        assert np.array_equal(np.asarray(mm), np.asarray(sm))
+        np.testing.assert_allclose(np.asarray(mo), np.asarray(so))
+
+
+def test_masked_points_never_contribute():
+    pts = jnp.asarray(np.array([[0.1, 0.1, 0.1], [1e6, 1e6, 1e6]],
+                               np.float32))
+    mask = jnp.asarray([True, False])
+    out, omask, n = downsample.voxel_downsample(pts, mask, 0.4, 8)
+    assert int(n) == 1
+    np.testing.assert_allclose(np.asarray(out)[0], [0.1, 0.1, 0.1],
+                               rtol=1e-6)
+
+
+def test_hash_collision_dropped_not_averaged():
+    """Force two distinct voxels into one table slot (table=1): the slot
+    must be dropped entirely, not averaged into a phantom point."""
+    pts = jnp.asarray(np.array([[0.1, 0.0, 0.0], [3.0, 0.0, 0.0]],
+                               np.float32))
+    mask = jnp.asarray([True, True])
+    out, omask, n = downsample.voxel_downsample(pts, mask, 0.4, 4, table=1)
+    assert int(n) == 0
+    assert not bool(np.asarray(omask).any())
+
+
+def test_capacity_overflow_reports_n():
+    rng = np.random.default_rng(2)
+    # 200 well-separated points -> 200 unique voxels, capacity 64
+    pts = jnp.asarray((np.arange(200)[:, None] * np.array([1.0, 0, 0])
+                       ).astype(np.float32))
+    mask = jnp.ones((200,), bool)
+    out, omask, n = downsample.voxel_downsample(pts, mask, 0.4, 64)
+    assert int(n) == 200          # true unique count reported
+    assert int(np.asarray(omask).sum()) == 64
