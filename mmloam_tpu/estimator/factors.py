@@ -144,23 +144,31 @@ def _compact_indices(fail, Mr):
 def _neighbor_moments(vm, pw, mask, mcfg, knn):
     """k-nearest selection + first/second moments of (centroid - query).
 
-    One fused pass over the stencil candidate block: no top_k, no
-    per-neighbor gathers (measured ~12 ms/scan for the explicit-neighbor
-    path this replaces).  Returns (t_k, n, s1 (M,3), s2 (M,3,3), w) with
-    w the (M,S,cpr) selection mask for per-candidate gates.
+    Returns (t_k, n, s1 (M,3), s2 (M,3,3), G) with G (M, 4, C) the dense
+    masked homogeneous-offset matrix: G[m, :, c] = w_c * [dx, dy, dz, 1]
+    of candidate c.  ALL moment reductions ride ONE MXU batched matmul,
+    S = G Gᵀ (M,4,4): S[:3,:3] = Σ w d dᵀ, S[:3,3] = Σ w d, S[3,3] = Σ w
+    (w² = w for a 0/1 mask).  The candidate block (M, S, cpr) lives in
+    32-of-128-lane padded tiles, so the per-candidate reduction passes
+    this replaces (count, 9 moments, planarity — measured 358 ms of the
+    flagship profile) each read 4x their logical bytes; here one fusion
+    folds the mask and relayouts into dense G, and the MXU contracts it.
+    Per-candidate gates (plane planarity) reuse G as a second tiny
+    matmul — see _plane_fit.
     """
     dx, dy, dz, d2, ok = voxelmap.query_candidates(vm, pw, mask, mcfg)
-    t_k, n, w = voxelmap.select_k_smallest(d2, ok, knn)
-    wf = w.astype(pw.dtype)
-    red = lambda a: jnp.sum(a * wf, axis=(1, 2))
-    s1 = jnp.stack([red(dx), red(dy), red(dz)], axis=-1)
-    sxx, syy, szz = red(dx * dx), red(dy * dy), red(dz * dz)
-    sxy, sxz, syz = red(dx * dy), red(dx * dz), red(dy * dz)
-    s2 = jnp.stack([
-        jnp.stack([sxx, sxy, sxz], axis=-1),
-        jnp.stack([sxy, syy, syz], axis=-1),
-        jnp.stack([sxz, syz, szz], axis=-1)], axis=-2)
-    return t_k, n, s1, s2, (dx, dy, dz, w)
+    t_k = voxelmap.kth_smallest(d2, ok, knn)
+    M = pw.shape[0]
+    C = d2.shape[1] * d2.shape[2]
+    wf = (ok & (d2 <= t_k[:, None, None])).astype(pw.dtype)
+    G = jnp.stack([(dx * wf).reshape(M, C), (dy * wf).reshape(M, C),
+                   (dz * wf).reshape(M, C), wf.reshape(M, C)], axis=1)
+    S = jnp.einsum("mfc,mgc->mfg", G, G,
+                   preferred_element_type=pw.dtype)    # (M,4,4) on the MXU
+    s1 = S[:, 0:3, 3]
+    s2 = S[:, 0:3, 0:3]
+    n = S[:, 3, 3]
+    return t_k, n, s1, s2, G
 
 
 def _line_fit(pw, mask, t_k, n, s1, s2, thres_dist, k):
@@ -279,15 +287,15 @@ def _plane_basis(omega):
     return jnp.stack([omega, t1, t2], axis=0)   # (3,3), rows
 
 
-def _plane_fit(pw, mask, t_k, n, s1, s2, blk, thres_dist, k, cfg):
+def _plane_fit(pw, mask, t_k, n, s1, s2, G, thres_dist, k, cfg):
     """Total-LS plane fit + gates from one map's neighbor moments.
 
     Returns (proj, omega, dist, valid).  Gates: 5th-NN sq-distance <
     thres_dist, every selected neighbor within 0.2 m of the fitted plane
     (Estimator.cpp:617-696), scatter-rank (cfg.solver.plane_scatter_ratio),
-    association-time error > 1e-5.
+    association-time error > 1e-5.  `G` is the (M, 4, C) masked
+    homogeneous-offset matrix from _neighbor_moments.
     """
-    dx, dy, dz, w = blk
     have5 = (n >= k) & (t_k < thres_dist)
     nf = jnp.maximum(n, 1).astype(pw.dtype)
 
@@ -310,12 +318,16 @@ def _plane_fit(pw, mask, t_k, n, s1, s2, blk, thres_dist, k, cfg):
     dist = -jnp.einsum("kj,kj->k", omega, mu)      # signed query-to-plane
 
     # planarity gate: every SELECTED neighbor within 0.2 m of the fitted
-    # plane (per-candidate check against the still-live candidate block)
-    cand_dist = ((dx - mu[:, 0, None, None]) * omega[:, 0, None, None]
-                 + (dy - mu[:, 1, None, None]) * omega[:, 1, None, None]
-                 + (dz - mu[:, 2, None, None]) * omega[:, 2, None, None])
-    planar = jnp.all(jnp.where(w, jnp.abs(cand_dist) <= 0.2, True),
-                     axis=(1, 2))
+    # plane.  Per-candidate deviation via G: for a selected candidate c,
+    # (d_c - mu)·ω = Σ_f G[f,c] h_f with h = [ωx, ωy, ωz, -mu·ω] (the
+    # mask folded into G zeroes unselected candidates, and |0| <= 0.2
+    # passes) — one (M,4)x(M,4,C) contraction instead of a pass over the
+    # padded candidate block.
+    # h_3 = -(mu·ω) = dist (dist is the signed query-to-plane = -ω·mu)
+    h = jnp.concatenate([omega, dist[:, None]], axis=-1)      # (M,4)
+    dev = jnp.einsum("mf,mfc->mc", h, G,
+                     preferred_element_type=pw.dtype)
+    planar = jnp.max(jnp.abs(dev), axis=1) <= 0.2
     # scatter-rank gate: a near-collinear neighbor set fits "a plane"
     # with an arbitrary normal — reject it (cfg.solver.plane_scatter_ratio;
     # improvement over the reference, see config docstring)
@@ -362,8 +374,8 @@ def associate_planes(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
         return one_map_sub(vmi, mcfg, pw, mask)
 
     def one_map_sub(vmi, mcfg, pwq, maskq):
-        t_k, n, s1, s2, blk = _neighbor_moments(vmi, pwq, maskq, mcfg, k)
-        return _plane_fit(pwq, maskq, t_k, n, s1, s2, blk, thres_dist, k,
+        t_k, n, s1, s2, G = _neighbor_moments(vmi, pwq, maskq, mcfg, k)
+        return _plane_fit(pwq, maskq, t_k, n, s1, s2, G, thres_dist, k,
                           cfg)
 
     dual_kernel = (vm_local is not None and cfg.use_pallas_assoc

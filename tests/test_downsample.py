@@ -71,15 +71,19 @@ def test_masked_points_never_contribute():
                                rtol=1e-6)
 
 
-def test_hash_collision_dropped_not_averaged():
-    """Force two distinct voxels into one table slot (table=1): the slot
-    must be dropped entirely, not averaged into a phantom point."""
+def test_distinct_voxels_never_averaged():
+    """Two distinct voxels must yield two exact centroids, never a phantom
+    average.  (The earlier scatter-table design could only guarantee this
+    by DROPPING hash-colliding slots; the sort path keys on the exact
+    voxel coordinates, so both must survive — `table` is ignored.)"""
     pts = jnp.asarray(np.array([[0.1, 0.0, 0.0], [3.0, 0.0, 0.0]],
                                np.float32))
     mask = jnp.asarray([True, True])
     out, omask, n = downsample.voxel_downsample(pts, mask, 0.4, 4, table=1)
-    assert int(n) == 0
-    assert not bool(np.asarray(omask).any())
+    assert int(n) == 2
+    got = {tuple(round(float(x), 4) for x in p)
+           for p in _as_set(out, omask)}
+    assert got == {(0.1, 0.0, 0.0), (3.0, 0.0, 0.0)}
 
 
 def test_capacity_overflow_reports_n():
