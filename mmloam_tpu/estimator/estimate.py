@@ -120,8 +120,9 @@ def estimate(x0, stacks: Stacks, cached_rfs, vm_corner, vm_surf, preint,
         do_marginalize = full_window
 
     sched_short = jnp.asarray(
-        [s.thres_dist_short, 10.0] + [s.thres_dist] * (s.max_outer_iters - 2),
-        dtype)
+        ([s.thres_dist_short, 10.0]
+         + [s.thres_dist] * max(s.max_outer_iters - 2, 0))
+        [:max(s.max_outer_iters, 1)], dtype)
     sched_full = jnp.full((s.max_outer_iters,), s.thres_dist, dtype)
     sched = jnp.where(full_window, sched_full, sched_short)
     weight_tan = jnp.where(full_window, s.plan_weight_tan, 0.0).astype(dtype)
@@ -215,9 +216,10 @@ def estimate(x0, stacks: Stacks, cached_rfs, vm_corner, vm_surf, preint,
 
     # the first solve (from the predicted window) gets the full budget;
     # later rounds start from an optimized window and get a short one
-    caps = jnp.asarray([s.max_inner_iters]
-                       + [s.max_inner_iters_later] * (s.max_outer_iters - 2),
-                       jnp.int32)
+    caps = jnp.asarray(([s.max_inner_iters]
+                        + [s.max_inner_iters_later]
+                        * max(s.max_outer_iters - 2, 0))
+                       [:max(s.max_outer_iters - 1, 0)], jnp.int32)
     can_break = jnp.arange(1, s.max_outer_iters) >= s.full_reassoc_rounds
     carry0 = (x0, rfs, deg, fail, sv, jnp.asarray(False),
               jnp.asarray(True), jnp.asarray(False))

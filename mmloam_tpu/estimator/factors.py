@@ -144,31 +144,38 @@ def _compact_indices(fail, Mr):
 def _neighbor_moments(vm, pw, mask, mcfg, knn):
     """k-nearest selection + first/second moments of (centroid - query).
 
-    Returns (t_k, n, s1 (M,3), s2 (M,3,3), G) with G (M, 4, C) the dense
-    masked homogeneous-offset matrix: G[m, :, c] = w_c * [dx, dy, dz, 1]
-    of candidate c.  ALL moment reductions ride ONE MXU batched matmul,
-    S = G Gᵀ (M,4,4): S[:3,:3] = Σ w d dᵀ, S[:3,3] = Σ w d, S[3,3] = Σ w
-    (w² = w for a 0/1 mask).  The candidate block (M, S, cpr) lives in
-    32-of-128-lane padded tiles, so the per-candidate reduction passes
-    this replaces (count, 9 moments, planarity — measured 358 ms of the
-    flagship profile) each read 4x their logical bytes; here one fusion
-    folds the mask and relayouts into dense G, and the MXU contracts it.
-    Per-candidate gates (plane planarity) reuse G as a second tiny
-    matmul — see _plane_fit.
+    Returns (t_k, n, s1 (M,3), s2 (M,3,3), blk) with blk = (dxd, dyd,
+    dzd, wf), the DENSE (M, C) candidate offsets and the 0/1 selection
+    mask (kept live for the per-candidate planarity gate — see
+    _plane_fit).  The candidate pipeline runs entirely on dense blocks
+    (voxelmap.query_candidates_dense): the padded (M, S, cpr) tile forms
+    of the per-superrow unpack cost 4x their logical bytes per pass.
+    The 9 moments + count are 10 multiply-reduces over the dense blocks
+    — XLA sibling-fuses reductions sharing inputs, and this measures
+    1.55 ms FASTER per flagship surf call than the batched (M,4,C)x
+    (M,4,C) einsum alternative, whose tiny 4x4-output matmuls strand
+    the MXU (measured both, scripts/xla_assoc_split.py harness).
+
+    Validity rides d2d = inf: when fewer than k valid candidates exist,
+    t_k = inf and wf selects every lane (n = C), but the downstream
+    `t_k < thres_dist` gate rejects exactly those points (same final
+    validity as the old explicit ok-mask, asserted by the kernel
+    equivalence tests).
     """
-    dx, dy, dz, d2, ok = voxelmap.query_candidates(vm, pw, mask, mcfg)
-    t_k = voxelmap.kth_smallest(d2, ok, knn)
-    M = pw.shape[0]
-    C = d2.shape[1] * d2.shape[2]
-    wf = (ok & (d2 <= t_k[:, None, None])).astype(pw.dtype)
-    G = jnp.stack([(dx * wf).reshape(M, C), (dy * wf).reshape(M, C),
-                   (dz * wf).reshape(M, C), wf.reshape(M, C)], axis=1)
-    S = jnp.einsum("mfc,mgc->mfg", G, G,
-                   preferred_element_type=pw.dtype)    # (M,4,4) on the MXU
-    s1 = S[:, 0:3, 3]
-    s2 = S[:, 0:3, 0:3]
-    n = S[:, 3, 3]
-    return t_k, n, s1, s2, G
+    dxd, dyd, dzd, d2d = voxelmap.query_candidates_dense(vm, pw, mask, mcfg)
+    t_k = voxelmap.kth_smallest_dense(d2d, knn)
+    wf = (d2d <= t_k[:, None]).astype(pw.dtype)
+    red = lambda a: jnp.sum(a, axis=1)
+    wx, wy, wz = dxd * wf, dyd * wf, dzd * wf
+    s1 = jnp.stack([red(wx), red(wy), red(wz)], axis=-1)
+    sxx, syy, szz = red(wx * dxd), red(wy * dyd), red(wz * dzd)
+    sxy, sxz, syz = red(wx * dyd), red(wx * dzd), red(wy * dzd)
+    s2 = jnp.stack([
+        jnp.stack([sxx, sxy, sxz], axis=-1),
+        jnp.stack([sxy, syy, syz], axis=-1),
+        jnp.stack([sxz, syz, szz], axis=-1)], axis=-2)
+    n = red(wf)
+    return t_k, n, s1, s2, (dxd, dyd, dzd, wf)
 
 
 def _line_fit(pw, mask, t_k, n, s1, s2, thres_dist, k):
@@ -287,14 +294,14 @@ def _plane_basis(omega):
     return jnp.stack([omega, t1, t2], axis=0)   # (3,3), rows
 
 
-def _plane_fit(pw, mask, t_k, n, s1, s2, G, thres_dist, k, cfg):
+def _plane_fit(pw, mask, t_k, n, s1, s2, blk, thres_dist, k, cfg):
     """Total-LS plane fit + gates from one map's neighbor moments.
 
-    Returns (proj, omega, dist, valid).  Gates: 5th-NN sq-distance <
+    Returns (proj, omega, valid).  Gates: 5th-NN sq-distance <
     thres_dist, every selected neighbor within 0.2 m of the fitted plane
     (Estimator.cpp:617-696), scatter-rank (cfg.solver.plane_scatter_ratio),
-    association-time error > 1e-5.  `G` is the (M, 4, C) masked
-    homogeneous-offset matrix from _neighbor_moments.
+    association-time error > 1e-5.  `blk` is the dense (M, C) candidate
+    block (dxd, dyd, dzd, wf) from _neighbor_moments.
     """
     have5 = (n >= k) & (t_k < thres_dist)
     nf = jnp.maximum(n, 1).astype(pw.dtype)
@@ -318,15 +325,13 @@ def _plane_fit(pw, mask, t_k, n, s1, s2, G, thres_dist, k, cfg):
     dist = -jnp.einsum("kj,kj->k", omega, mu)      # signed query-to-plane
 
     # planarity gate: every SELECTED neighbor within 0.2 m of the fitted
-    # plane.  Per-candidate deviation via G: for a selected candidate c,
-    # (d_c - mu)·ω = Σ_f G[f,c] h_f with h = [ωx, ωy, ωz, -mu·ω] (the
-    # mask folded into G zeroes unselected candidates, and |0| <= 0.2
-    # passes) — one (M,4)x(M,4,C) contraction instead of a pass over the
-    # padded candidate block.
-    # h_3 = -(mu·ω) = dist (dist is the signed query-to-plane = -ω·mu)
-    h = jnp.concatenate([omega, dist[:, None]], axis=-1)      # (M,4)
-    dev = jnp.einsum("mf,mfc->mc", h, G,
-                     preferred_element_type=pw.dtype)
+    # plane.  Per-candidate deviation over the DENSE candidate block:
+    # (d_c - mu)·ω = dx ωx + dy ωy + dz ωz - mu·ω, masked by the
+    # selection (wf zeroes unselected candidates; |0| <= 0.2 passes) —
+    # one fused max-reduce pass over the dense blocks
+    dxd, dyd, dzd, wf = blk
+    dev = wf * (dxd * omega[:, 0, None] + dyd * omega[:, 1, None]
+                + dzd * omega[:, 2, None] + dist[:, None])
     planar = jnp.max(jnp.abs(dev), axis=1) <= 0.2
     # scatter-rank gate: a near-collinear neighbor set fits "a plane"
     # with an arbitrary normal — reject it (cfg.solver.plane_scatter_ratio;
@@ -374,8 +379,8 @@ def associate_planes(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
         return one_map_sub(vmi, mcfg, pw, mask)
 
     def one_map_sub(vmi, mcfg, pwq, maskq):
-        t_k, n, s1, s2, G = _neighbor_moments(vmi, pwq, maskq, mcfg, k)
-        return _plane_fit(pwq, maskq, t_k, n, s1, s2, G, thres_dist, k,
+        t_k, n, s1, s2, blk = _neighbor_moments(vmi, pwq, maskq, mcfg, k)
+        return _plane_fit(pwq, maskq, t_k, n, s1, s2, blk, thres_dist, k,
                           cfg)
 
     dual_kernel = (vm_local is not None and cfg.use_pallas_assoc

@@ -307,41 +307,73 @@ def query_candidates(vm: VoxelMap, q, mask, cfg):
     return dx, dy, dz, d2, ok
 
 
+def query_candidates_dense(vm: VoxelMap, q, mask, cfg):
+    """`query_candidates`, materialized as DENSE (M, C) blocks in ONE pass.
+
+    The candidate arrays come out of the superrow unpack as 32-of-128-lane
+    padded tiles ((M, S, cpr) slices of the gathered rows), so every HBM
+    pass over them reads 4x their logical bytes — and XLA rematerializes
+    the unpack (re-reading the whole padded block) into EVERY consumer
+    fusion that wants a dense layout.  Measured at flagship shapes the
+    selection + moment pipeline paid that relayout 4-5 times (~3.8 ms of
+    a 6.1 ms association call).  This entry point pays it ONCE: a single
+    multi-output fusion reads the gathered rows and writes all four dense
+    blocks; the optimization_barrier pins them (and keeps the row gather
+    out of downstream fusions).
+
+    Returns (dxd, dyd, dzd, d2d), each (M, S*cpr); d2d is +inf at invalid
+    candidates (key mismatch / empty cell / masked query / outside the
+    exact stencil), which downstream selection uses as the validity
+    carrier.  dx/dy/dz at invalid lanes are finite garbage (or NaN for
+    poisoned masked queries) — consumers must select via d2d.
+    """
+    dx, dy, dz, d2, ok = query_candidates(vm, q, mask, cfg)
+    M = q.shape[0]
+    C = d2.shape[1] * d2.shape[2]
+    r = lambda a: a.reshape(M, C)
+    return jax.lax.optimization_barrier((r(dx), r(dy), r(dz), r(d2)))
+
+
+def kth_smallest_dense(d2d, k: int):
+    """k-th smallest entry of a dense (M, C) block (inf-padded invalid).
+
+    Returns t (M,): inf when fewer than k finite entries exist.  Exact
+    f32 ties are handled with tie-INCLUSIVE semantics: t is the smallest
+    distinct value whose cumulative count reaches k (consumers select
+    `d2 <= t`, which may pick more than k candidates; they divide by the
+    true count, so moments stay correct — the kd-tree this replaces
+    breaks such ties arbitrarily).
+
+    Implementation: k sequential distinct-min extractions, then one
+    counting pass.  Measured on v5e at flagship shapes this is ~4x
+    cheaper than `lax.top_k` (a full bitonic sort of the (M, 256) block)
+    and ~2x cheaper than `lax.approx_min_k` + exact refine.
+    """
+    ms = []
+    t = jnp.full((d2d.shape[0],), -jnp.inf, d2d.dtype)
+    for _ in range(k):
+        t = jnp.min(jnp.where(d2d > t[:, None], d2d, jnp.inf), axis=1)
+        ms.append(t)
+    mstack = jnp.stack(ms, axis=1)                       # (M,k) ascending
+    # tie-inclusive cumulative counts of all k thresholds in ONE pass
+    cnts = jnp.sum((d2d[:, :, None] <= mstack[:, None, :]), axis=1)
+    return jnp.min(jnp.where(cnts >= k, mstack, jnp.inf), axis=1)
+
+
 def kth_smallest(d2, ok, k: int):
     """k-th smallest valid squared distance per query (threshold only).
 
     Returns t (M,): the k-th smallest valid entry of d2 (inf when fewer
-    than k valid candidates exist).  Exact f32 ties are handled with
-    tie-INCLUSIVE semantics: t is the smallest distinct value whose
-    cumulative count reaches k (consumers select `d2 <= t`, which may
-    pick more than k candidates; they divide by the true count, so
-    moments stay correct — the kd-tree this replaces breaks such ties
-    arbitrarily).
-
-    Implementation: k sequential distinct-min extractions over a
-    MATERIALIZED dense (M, C) candidate block, then one counting pass.
-    Measured on v5e at flagship shapes this is ~4x cheaper than
-    `lax.top_k`, whose XLA:TPU lowering is a full bitonic sort of the
-    (M, 256) block (~log^2 C passes vs k+1 single-pass reductions here).
-    The reshape to (M, C) relayouts the lane-padded (M, S, cpr) block
-    into dense 128-lane tiles once, so every reduction pass runs at full
-    lane utilization; the optimization_barrier pins the dense block in
-    HBM so XLA cannot rematerialize the candidate computation (and its
-    row gathers!) into each reduction fusion.
+    than k valid candidates exist).  See `kth_smallest_dense` for the
+    tie semantics; this wrapper densifies the padded (M, S, cpr) block
+    first (the optimization_barrier pins it in HBM so XLA cannot
+    rematerialize the candidate computation — and its row gathers! —
+    into each reduction fusion).
     """
     M = d2.shape[0]
     C = d2.shape[1] * d2.shape[2]
     cur = jnp.where(ok, d2, jnp.inf).reshape(M, C)
-    cur = jax.lax.optimization_barrier(cur)
-    ms = []
-    t = jnp.full((M,), -jnp.inf, cur.dtype)
-    for _ in range(k):
-        t = jnp.min(jnp.where(cur > t[:, None], cur, jnp.inf), axis=1)
-        ms.append(t)
-    mstack = jnp.stack(ms, axis=1)                       # (M,k) ascending
-    # tie-inclusive cumulative counts of all k thresholds in ONE pass
-    cnts = jnp.sum((cur[:, :, None] <= mstack[:, None, :]), axis=1)  # (M,k)
-    return jnp.min(jnp.where(cnts >= k, mstack, jnp.inf), axis=1)
+    return kth_smallest_dense(jax.lax.optimization_barrier(cur), k)
 
 
 def select_k_smallest(d2, ok, k: int):
