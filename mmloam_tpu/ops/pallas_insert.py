@@ -86,10 +86,10 @@ def aggregate_updates(pts, mask, cfg):
         s_pos = jax.lax.cummax(jnp.where(start, iota, -1))
         seg_sum_at_end = cum - jnp.where(
             (s_pos > 0)[:, None], cum[jnp.maximum(s_pos - 1, 0)], 0.0)
-        # no compaction: the RMW kernel's group loop visits every entry
-        # slot regardless (invalid entries skip their DMAs via pl.when),
-        # so compacting valids to the front via a second argsort bought
-        # nothing — segment-end entries simply stay in place
+        # NOTE: insert_batched compacts valid entries to the front (its
+        # argsort keys invalids last) and sizes the kernel's group loop by
+        # ceil(n_valid / G) — that dynamic bound is only correct because
+        # valids are front-packed before the kernel runs
         end_ok = is_end & m_s
         vf = end_ok.astype(dtype)
         row_upd = seg_sum_at_end * vf[:, None]

@@ -38,12 +38,10 @@ def test_single_class_matches_oracle():
     ref = _ref_voxelgrid(pts, mask, leaf)
     got = _as_set(out, omask)
     want = {tuple(np.round(c, 4)) for c in ref.values()}
-    # hash collisions may DROP voxels (never corrupt them): every emitted
-    # centroid must be an exact voxel centroid; the drop rate is bounded
-    # by the birthday collision rate of the 8192-slot table (~2x pairs)
-    assert got <= want
-    assert len(got) >= 0.9 * len(want)
-    assert int(n) == len(got)
+    # the sort path keys on exact voxel coordinates — no collisions, so
+    # the output is exactly the oracle's centroid set
+    assert got == want
+    assert int(n) == len(want)
 
 
 def test_multi_matches_single_calls():

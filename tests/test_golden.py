@@ -10,6 +10,8 @@ import os
 
 import numpy as np
 
+import jax
+
 from mmloam_tpu import pipeline, replay
 from mmloam_tpu.config import tiny_config
 from mmloam_tpu.data import synthetic
@@ -30,8 +32,11 @@ def test_golden_hall_trajectory():
     g = np.load(GOLDEN)
     np.testing.assert_array_equal(np.array(outs.inited), g["inited"])
     np.testing.assert_array_equal(np.array(outs.fail), g["fail"])
-    # trajectories: small numeric slack for cross-backend runs (the golden
-    # was produced on CPU; reduction order differs on TPU)
-    np.testing.assert_allclose(np.array(outs.pose_p), g["pose_p"], atol=5e-3)
+    # The CI suite is pinned to CPU (conftest), where the golden was
+    # produced — assert tight (~f32 ulp noise over 25 chained solves) so a
+    # silent mm-scale behavior drift cannot pass.  Keep the loose bound
+    # only for an explicit TPU-backend run (reduction order differs).
+    atol = 5e-3 if jax.default_backend() != "cpu" else 1e-5
+    np.testing.assert_allclose(np.array(outs.pose_p), g["pose_p"], atol=atol)
     np.testing.assert_allclose(np.array(outs.n_corner), g["n_corner"],
                                atol=0, rtol=0)
