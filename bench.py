@@ -119,7 +119,6 @@ def main(batch=16, n_scans=30, seed0=None):
                  cfg.scan.hori_n_lines, cfg.scan.hori_max_pts_per_line],
         "stacks": [cfg.scan.max_corner, cfg.scan.max_surf,
                    cfg.scan.max_nonfeature],
-        "pallas_assoc": bool(cfg.use_pallas_assoc),
     }
     print(json.dumps({
         "metric": "flagship_replay_throughput",

@@ -273,15 +273,12 @@ class LIOConfig:
     local_map: MapConfig = MapConfig(voxel_size=0.2, dim_x=192, dim_y=192,
                                      dim_z=32)
     use_local_map: bool = True
-    # fused Pallas association kernel on TPU (ops/pallas_assoc.py); False
-    # uses the XLA gather association everywhere.  Default OFF: measured
-    # on v5e at flagship shapes (r3, BASELINE.md) the XLA path wins
-    # end-to-end (121.7 vs 117.3 scans/sec/chip with the gathered-rows
-    # kernel; the earlier manual-DMA kernel variant was 2x slower than
-    # XLA).  The kernel remains maintained + hardware-verified as the
-    # fallback-probed option (factors.py lowering probes); the CPU/test
-    # backend always uses the XLA path regardless (factors._kernel_ok).
-    use_pallas_assoc: bool = False
+    # Association engine: the pure-XLA path (voxelmap row gather + fused
+    # moment reductions) is the production engine — it beat the fused
+    # Pallas association kernel end-to-end on v5e at flagship shapes
+    # (121.7 vs 117.3 scans/sec/chip, r3; the manual-DMA variant was 2x
+    # slower still).  The kernel family is archived in
+    # scripts/pallas_assoc.py with one interpret-mode equivalence test.
     solver: SolverConfig = SolverConfig()
     failsafe: FailsafeConfig = FailsafeConfig()
     velo_only_mode: bool = False     # reference: Velo_Only_Mode rosparam

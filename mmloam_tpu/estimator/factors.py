@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import lie
-from ..ops import linalg3, pallas_assoc, voxelmap
+from ..ops import linalg3, voxelmap
 
 
 class LineTargets(NamedTuple):
@@ -68,58 +68,6 @@ def _world_points(x6, p_l, Rbl, tbl):
 # --------------------------------------------------------------------------
 # association (builds fixed targets at the current pose, once per scan)
 # --------------------------------------------------------------------------
-
-def _kernel_ok(mcfg, m):
-    """Static check: the fused Pallas association kernel applies.
-
-    TPU backend only (the CPU/test path keeps the XLA gathers; the kernel
-    itself is verified against them in interpret mode by
-    tests/test_pallas_assoc.py), 32-cell superrows, 8-row stencil window,
-    point count a multiple of the kernel group.
-    """
-    import jax as _jax
-
-    if _jax.default_backend() == "cpu":
-        return False
-    nbx, nby, nbz = voxelmap._super_window(mcfg)
-    return (voxelmap._cpr(mcfg) == 32 and nbx * nby * nbz == 8
-            and m % pallas_assoc.GP == 0)
-
-
-def _dual_from_kernel(pw, mask, vm, vm_local, cfg, thres_dist, k, mode):
-    """Dual-tier kernel dispatch: global fit + conditional local rescue in
-    ONE pallas launch (pallas_assoc.assoc_dual_batched) — the local tier's
-    row DMAs are skipped per point when the global fit succeeds."""
-    mu, vec, valid, _ = pallas_assoc.assoc_dual_batched(
-        vm.cells[None], vm_local.cells[None], pw[None], mask[None],
-        jnp.asarray(thres_dist, pw.dtype), cfg.map, cfg.local_map,
-        mode=mode, k=k,
-        scatter_ratio=(cfg.solver.plane_scatter_ratio if mode == 0 else 0.0))
-    return mu[0], vec[0], valid[0]
-
-
-def _line_from_kernel(pw, mask, vm, mcfg, thres_dist, k):
-    """Fused-kernel line association: all acceptance gates (selection
-    count, thres, line-likeness, error floor, point mask) are applied
-    inside the kernel."""
-    mu, u, valid, _, _ = pallas_assoc.assoc_batched(
-        vm.cells[None], pw[None], mask[None],
-        jnp.asarray(thres_dist, pw.dtype), mcfg, mode=1, k=k)
-    return pw + mu[0], u[0], valid[0]
-
-
-def _plane_from_kernel(pw, mask, vm, mcfg, thres_dist, k, cfg):
-    """Fused-kernel plane association (gates in-kernel, incl. planarity
-    and the scatter-rank gate)."""
-    mu, omega, valid, _, _ = pallas_assoc.assoc_batched(
-        vm.cells[None], pw[None], mask[None],
-        jnp.asarray(thres_dist, pw.dtype), mcfg, mode=0, k=k,
-        scatter_ratio=cfg.solver.plane_scatter_ratio)
-    mu, omega, valid = mu[0], omega[0], valid[0]
-    dist = -jnp.einsum("kj,kj->k", omega, mu)
-    proj = pw - dist[:, None] * omega
-    return proj, omega, valid
-
 
 def _rescue_cap(M, frac):
     """Static local-rescue buffer size: ceil(M * frac) rounded up to 128."""
@@ -159,11 +107,14 @@ def _neighbor_moments(vm, pw, mask, mcfg, knn):
     Validity rides d2d = inf: when fewer than k valid candidates exist,
     t_k = inf and wf selects every lane (n = C), but the downstream
     `t_k < thres_dist` gate rejects exactly those points (same final
-    validity as the old explicit ok-mask, asserted by the kernel
-    equivalence tests).
+    validity as the old explicit ok-mask, asserted by the archived-kernel
+    equivalence test, tests/test_pallas_assoc.py).
     """
     dxd, dyd, dzd, d2d = voxelmap.query_candidates_dense(vm, pw, mask, mcfg)
     t_k = voxelmap.kth_smallest_dense(d2d, knn)
+    # starved rows (t_k = inf) select EVERY lane here, so their moments
+    # are garbage-by-design — the `t_k < thres_dist` gate in every
+    # consumer (_line_fit/_plane_fit `have5`) rejects exactly those rows
     wf = (d2d <= t_k[:, None]).astype(pw.dtype)
     red = lambda a: jnp.sum(a, axis=1)
     wx, wy, wz = dxd * wf, dyd * wf, dzd * wf
@@ -225,32 +176,16 @@ def associate_lines(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
     k = cfg.map.knn
     M = pw.shape[0]
 
-    def one_map(vmi, mcfg):
-        if (cfg.use_pallas_assoc and _kernel_ok(mcfg, M)
-                and pallas_assoc.single_lowers(vmi.cells.shape, M, mcfg,
-                                               mode=1, k=k)):
-            return _line_from_kernel(pw, mask, vmi, mcfg, thres_dist, k)
-        return one_map_sub(vmi, mcfg, pw, mask)
-
     def one_map_sub(vmi, mcfg, pwq, maskq):
         t_k, n, s1, s2, _ = _neighbor_moments(vmi, pwq, maskq, mcfg, k)
         return _line_fit(pwq, maskq, t_k, n, s1, s2, thres_dist, k)
 
-    dual_kernel = (vm_local is not None and cfg.use_pallas_assoc
-                   and _kernel_ok(cfg.map, M) and _kernel_ok(cfg.local_map, M)
-                   and pallas_assoc.dual_lowers(
-                       vm.cells.shape, vm_local.cells.shape, M,
-                       cfg.map, cfg.local_map, mode=1, k=k))
-    if dual_kernel:
-        mu, u, valid = _dual_from_kernel(pw, mask, vm, vm_local, cfg,
-                                         thres_dist, k, mode=1)
-        return LineTargets(p_l=p_l, c=pw + mu, u=u, valid=valid)
-    c, u, valid = one_map(vm, cfg.map)
+    c, u, valid = one_map_sub(vm, cfg.map, pw, mask)
     if vm_local is not None:
         frac = cfg.solver.local_rescue_frac
         Mr = _rescue_cap(M, frac)
         if Mr >= M:
-            c2, u2, valid2 = one_map(vm_local, cfg.local_map)
+            c2, u2, valid2 = one_map_sub(vm_local, cfg.local_map, pw, mask)
             use2 = (~valid & valid2)[:, None]
             c = jnp.where(use2, c2, c)
             u = jnp.where(use2, u2, u)
@@ -369,54 +304,34 @@ def associate_planes(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
     k = cfg.map.knn
     M = pw.shape[0]
 
-    def one_map(vmi, mcfg):
-        if (cfg.use_pallas_assoc and _kernel_ok(mcfg, M)
-                and pallas_assoc.single_lowers(
-                    vmi.cells.shape, M, mcfg, mode=0, k=k,
-                    scatter_ratio=cfg.solver.plane_scatter_ratio)):
-            return _plane_from_kernel(pw, mask, vmi, mcfg, thres_dist, k,
-                                      cfg)
-        return one_map_sub(vmi, mcfg, pw, mask)
-
     def one_map_sub(vmi, mcfg, pwq, maskq):
         t_k, n, s1, s2, blk = _neighbor_moments(vmi, pwq, maskq, mcfg, k)
         return _plane_fit(pwq, maskq, t_k, n, s1, s2, blk, thres_dist, k,
                           cfg)
 
-    dual_kernel = (vm_local is not None and cfg.use_pallas_assoc
-                   and _kernel_ok(cfg.map, M) and _kernel_ok(cfg.local_map, M)
-                   and pallas_assoc.dual_lowers(
-                       vm.cells.shape, vm_local.cells.shape, M,
-                       cfg.map, cfg.local_map, mode=0, k=k,
-                       scatter_ratio=cfg.solver.plane_scatter_ratio))
-    if dual_kernel:
-        mu, omega, valid = _dual_from_kernel(pw, mask, vm, vm_local, cfg,
-                                             thres_dist, k, mode=0)
-        dist = -jnp.einsum("kj,kj->k", omega, mu)
-        proj = pw - dist[:, None] * omega
-    else:
-        proj, omega, valid = one_map(vm, cfg.map)
-        if vm_local is not None:
-            frac = cfg.solver.local_rescue_frac
-            Mr = _rescue_cap(M, frac)
-            if Mr >= M:
-                proj2, omega2, valid2 = one_map(vm_local, cfg.local_map)
-                use2 = ~valid & valid2
-                proj = jnp.where(use2[:, None], proj2, proj)
-                omega = jnp.where(use2[:, None], omega2, omega)
-                valid = valid | valid2
-            else:
-                # conditional rescue (see associate_lines): local-tier rows
-                # gathered only for the compacted persistent-fit failures
-                sel = _compact_indices(mask & ~valid, Mr)
-                pw_r = pw.at[sel].get(mode="fill", fill_value=0.0)
-                mask_r = sel < M
-                proj2, omega2, valid2 = one_map_sub(vm_local, cfg.local_map,
-                                                    pw_r, mask_r)
-                sel_ok = jnp.where(valid2, sel, M)
-                proj = proj.at[sel_ok].set(proj2, mode="drop")
-                omega = omega.at[sel_ok].set(omega2, mode="drop")
-                valid = valid.at[sel_ok].set(True, mode="drop")
+    proj, omega, valid = one_map_sub(vm, cfg.map, pw, mask)
+    if vm_local is not None:
+        frac = cfg.solver.local_rescue_frac
+        Mr = _rescue_cap(M, frac)
+        if Mr >= M:
+            proj2, omega2, valid2 = one_map_sub(vm_local, cfg.local_map,
+                                                pw, mask)
+            use2 = ~valid & valid2
+            proj = jnp.where(use2[:, None], proj2, proj)
+            omega = jnp.where(use2[:, None], omega2, omega)
+            valid = valid | valid2
+        else:
+            # conditional rescue (see associate_lines): local-tier rows
+            # gathered only for the compacted persistent-fit failures
+            sel = _compact_indices(mask & ~valid, Mr)
+            pw_r = pw.at[sel].get(mode="fill", fill_value=0.0)
+            mask_r = sel < M
+            proj2, omega2, valid2 = one_map_sub(vm_local, cfg.local_map,
+                                                pw_r, mask_r)
+            sel_ok = jnp.where(valid2, sel, M)
+            proj = proj.at[sel_ok].set(proj2, mode="drop")
+            omega = omega.at[sel_ok].set(omega2, mode="drop")
+            valid = valid.at[sel_ok].set(True, mode="drop")
 
     basis = jax.vmap(_plane_basis)(omega)         # (K,3,3)
     w = jnp.array([1.0, weight_tan, weight_tan], pw.dtype)

@@ -72,8 +72,16 @@ def voxel_downsample_multi(pts, masks, leaves, capacities, table: int = 8192):
     order (bit 31 flips sign) — harmless: segmentation only needs a total
     order that groups equal voxels, and class/v_x remain the primary key,
     so per-class blocks stay contiguous for the output slices.
+
+    Packing limits (silent wrap beyond them — distinct voxels would merge
+    into a phantom averaged centroid): |v_y|, |v_z| < 2^15 and
+    |v_x| < 2^26 voxel units (~6.5 km from the origin at the 0.2 m leaf,
+    far beyond lidar range around any insert_guard-bounded trajectory),
+    and at most 8 classes (class * 2^27 + 2^27 must stay below the 2^30
+    invalid sentinel; asserted below).
     """
     n_cls = len(masks)
+    assert n_cls <= 8, "key packing supports at most 8 classes"
     N = pts.shape[0]
     dtype = pts.dtype
 

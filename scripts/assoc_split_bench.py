@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from mmloam_tpu.config import LIOConfig
-from mmloam_tpu.ops import pallas_assoc as pa
+from scripts import pallas_assoc as pa  # archived kernel (round 4)
 from mmloam_tpu.ops import voxelmap as vx
 from scripts.pallas_assoc_test import build, queries
 

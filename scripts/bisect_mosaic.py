@@ -23,7 +23,6 @@ STAGES = [
     "stack_out",         # + jnp.stack of 16 (GP,) lanes into out_ref
     "single_full",       # full single-tier kernel via assoc_batched
     "need_store",        # the dual kernel's scalar SMEM flag-store loop
-    "dual_full",         # full dual-tier kernel via assoc_dual_batched
 ]
 
 
@@ -34,7 +33,7 @@ def _run_stage(stage):
     from jax.experimental.pallas import tpu as pltpu
 
     from mmloam_tpu.config import tiny_config
-    from mmloam_tpu.ops import pallas_assoc as pa
+    from scripts import pallas_assoc as pa  # archived kernel (round 4)
 
     GP = pa.GP
     cfg = tiny_config()
@@ -60,17 +59,6 @@ def _run_stage(stage):
         t_s = jax.ShapeDtypeStruct((), f32)
         pa.assoc_batched.lower(cells_s, pw_s, mask_s, t_s, cfg=mcfg,
                                mode=0, k=5, scatter_ratio=0.05).compile()
-        return
-
-    if stage == "dual_full":
-        pw_s = jax.ShapeDtypeStruct((B, M, 3), f32)
-        mask_s = jax.ShapeDtypeStruct((B, M), jnp.bool_)
-        t_s = jax.ShapeDtypeStruct((), f32)
-        cells_l_s = jax.ShapeDtypeStruct(
-            (B, vx.empty_map(cfg.local_map).cells.shape[0], 128), f32)
-        pa.assoc_dual_batched.lower(
-            cells_s, cells_l_s, pw_s, mask_s, t_s, cfg_g=mcfg,
-            cfg_l=cfg.local_map, mode=0, k=5, scatter_ratio=0.05).compile()
         return
 
     def kern(slot_ref, meta_ref, thres_ref, bmap_ref, cells_ref, out_ref,

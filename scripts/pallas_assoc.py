@@ -1,6 +1,17 @@
-"""Pallas TPU kernel: fused stencil k-NN association (gather + select + fit).
+"""ARCHIVED Pallas TPU kernel: fused stencil k-NN association.
 
-Why this exists: at flagship shapes the XLA association pipeline
+Status (round 4 decision, measured): the production association engine is
+the pure-XLA path (voxelmap.query_candidates_dense + fused moment
+reductions) — it beat this kernel end-to-end on v5e at flagship shapes
+(121.7 vs 117.3 scans/sec/chip, r3 BASELINE.md), and the earlier
+manual-DMA variant was 2x slower still.  The kernel family is therefore
+archived here, out of the package: the estimator no longer dispatches to
+it, the dual-tier variant is deleted, and one interpret-mode equivalence
+test (tests/test_pallas_assoc.py) keeps the remaining single-tier kernel
+honest as a reference implementation of the fused-association idea.  See
+PARITY.md "Association engine" for the decision record.
+
+Original rationale: at flagship shapes the XLA association pipeline
 (`voxelmap.query_candidates` -> `select_k_smallest` -> moment reductions ->
 `linalg3` fits) materializes ~300 MB of HBM intermediates per step — a
 (B, M, 8, 128) row gather, a layout-changing copy of it, five (B, M, 8, 32)
@@ -55,7 +66,7 @@ from jax import custom_batching
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import voxelmap
+from mmloam_tpu.ops import voxelmap
 
 _META_MOD = voxelmap._META_MOD
 GP = 128            # points per grid step
@@ -457,25 +468,6 @@ def single_lowers(cells_shape, m, cfg, mode, k=5, scatter_ratio=0.0):
         scatter_ratio=scatter_ratio).compile())
 
 
-def dual_lowers(cellsg_shape, cellsl_shape, m, cfg_g, cfg_l, mode, k=5,
-                scatter_ratio=0.0):
-    """True iff the dual-tier kernel compiles for these static shapes."""
-    if jax.default_backend() == "cpu":
-        return True
-    csg = tuple(cellsg_shape[-2:])
-    csl = tuple(cellsl_shape[-2:])
-    key = ("dual", csg, csl, m, cfg_g, cfg_l, mode, k, float(scatter_ratio))
-    f32 = jnp.float32
-    args = (jax.ShapeDtypeStruct((1,) + csg, f32),
-            jax.ShapeDtypeStruct((1,) + csl, f32),
-            jax.ShapeDtypeStruct((1, m, 3), f32),
-            jax.ShapeDtypeStruct((1, m), jnp.bool_),
-            jax.ShapeDtypeStruct((), f32))
-    return _probe(key, lambda: assoc_dual_batched.lower(
-        *args, cfg_g=cfg_g, cfg_l=cfg_l, mode=mode, k=k,
-        scatter_ratio=scatter_ratio).compile())
-
-
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "mode", "k", "scatter_ratio",
                                     "interpret"))
@@ -513,138 +505,3 @@ def assoc_batched(cells, pw, mask, thres, cfg, mode, k=5,
                jnp.broadcast_to(jnp.asarray(thres, jnp.float32), (B,)))
     return (out[..., 0:3], out[..., 3:6], out[..., 6] > 0.5,
             out[..., 7], out[..., 8])
-
-
-def _assoc_dual_kernel(metag_ref, metal_ref, thres_ref, rowsg_ref,
-                       rowsl_ref, out_ref, *, k, mode, params_g, params_l,
-                       scatter_ratio):
-    """Dual-tier association from pre-gathered rows: global fit, local
-    (fine-leaf recent-history) fit, per-point merge.
-
-    The local tier rescues the few percent of points the persistent map
-    cannot fit (Estimator.cpp:283-360 local branch).  Both tiers' rows
-    arrive pre-gathered by XLA (see `_assoc_kernel` for why the manual
-    conditional-DMA variant lost on hardware); fusing the two fits in ONE
-    kernel still saves a full launch + a second meta pipeline vs two
-    single-tier calls, and the merge select never touches HBM.
-
-    out lanes per point: [mu(3), vec(3), valid(1), used_local(1), pad(8)].
-    """
-    bq = pl.program_id(0)
-    thres = thres_ref[bq, 0]
-
-    (gmux, gmuy, gmuz, gvx, gvy, gvz, _, _, _, g_t, _, g_fit) = _fit_rows(
-        rowsg_ref[0], metag_ref[0], k=k, mode=mode,
-        scatter_ratio=scatter_ratio, **params_g)
-    valid_g = (g_fit > 0.0) & (g_t < thres)
-
-    (lmux, lmuy, lmuz, lvx, lvy, lvz, _, _, _, l_t, _, l_fit) = _fit_rows(
-        rowsl_ref[0], metal_ref[0], k=k, mode=mode,
-        scatter_ratio=scatter_ratio, **params_l)
-    valid_l = (~valid_g) & (l_fit > 0.0) & (l_t < thres)
-
-    vgf = valid_g.astype(jnp.float32)
-    vlf = valid_l.astype(jnp.float32)
-    pick_l = vlf
-    mux = jnp.where(pick_l > 0.0, lmux, gmux)
-    muy = jnp.where(pick_l > 0.0, lmuy, gmuy)
-    muz = jnp.where(pick_l > 0.0, lmuz, gmuz)
-    vx = jnp.where(pick_l > 0.0, lvx, gvx)
-    vy = jnp.where(pick_l > 0.0, lvy, gvy)
-    vz = jnp.where(pick_l > 0.0, lvz, gvz)
-    valid = jnp.maximum(vgf, vlf)
-    z = jnp.zeros_like(valid)
-    out_ref[0] = jnp.stack([mux, muy, muz, vx, vy, vz, valid, pick_l,
-                            z, z, z, z, z, z, z, z], axis=-1)
-
-
-def _dual_pallas(rows_g, rows_l, meta_g, meta_l, thres, *, k, mode,
-                 params_g, params_l, scatter_ratio, interpret):
-    """Raw batched dual-tier launch (shapes as in `_assoc_pallas`)."""
-    B, M = rows_g.shape[:2]
-    dtype = jnp.float32
-    kern = functools.partial(
-        _assoc_dual_kernel, k=k, mode=mode, params_g=params_g,
-        params_l=params_l, scatter_ratio=scatter_ratio)
-    out = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((B, M, 16), dtype),
-        grid=(B, M // GP),
-        in_specs=[
-            pl.BlockSpec((1, GP, 8, 8), lambda b, g: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GP, 8, 8), lambda b, g: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, GP, 8, 128), lambda b, g: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, GP, 8, 128), lambda b, g: (b, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, GP, 16), lambda b, g: (b, g, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(meta_g, meta_l, thres.astype(dtype).reshape(B, 1), rows_g, rows_l)
-    return out
-
-
-def _dual_call(k, mode, params_g, params_l, scatter_ratio, interpret):
-    """custom_vmap-wrapped dual-tier launch (statics closed over)."""
-
-    @custom_batching.custom_vmap
-    def call(rows_g, rows_l, meta_g, meta_l, thres):
-        return _dual_pallas(rows_g, rows_l, meta_g, meta_l, thres, k=k,
-                            mode=mode, params_g=params_g, params_l=params_l,
-                            scatter_ratio=scatter_ratio, interpret=interpret)
-
-    @call.def_vmap
-    def _rule(axis_size, in_batched, rows_g, rows_l, meta_g, meta_l, thres):
-        rgb, rlb, mgb, mlb, tb = in_batched
-        B0 = rows_g.shape[1] if rgb else rows_g.shape[0]
-        out = call(_fold(rows_g, rgb, axis_size),
-                   _fold(rows_l, rlb, axis_size),
-                   _fold(meta_g, mgb, axis_size),
-                   _fold(meta_l, mlb, axis_size),
-                   _fold(thres, tb, axis_size))
-        return out.reshape((axis_size, B0) + out.shape[1:]), True
-
-    return call
-
-
-@functools.partial(jax.jit, static_argnames=("cfg_g", "cfg_l", "mode", "k",
-                                             "scatter_ratio", "interpret"))
-def assoc_dual_batched(cells_g, cells_l, pw, mask, thres, cfg_g, cfg_l,
-                       mode, k=5, scatter_ratio=0.0, interpret=None):
-    """Dual-tier fused association: global map + local-map rescue merge.
-
-    cells_g/cells_l: (B, Cs, 128); pw: (B, M, 3); mask: (B, M); thres:
-    traced squared-distance gate (the member-variable schedule value) —
-    scalar or (B,) per-batch-element.
-    vmap-safe: outer vmap axes fold into the batch grid (`_dual_call`).
-    Returns (mu (B,M,3), vec (B,M,3), valid (B,M) bool, used_local (B,M)
-    bool) — the MERGED fit, all acceptance gates already applied
-    (selection count, thres, planarity/scatter or line-likeness, error
-    floor), matching factors._plane_fit/_line_fit + the vm_local fallback
-    select.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    B, M = pw.shape[:2]
-    assert M % GP == 0, (M, GP)
-    slot_g, meta_g = jax.vmap(lambda p, m: prepare_queries(p, m, cfg_g))(
-        pw, mask)
-    slot_l, meta_l = jax.vmap(lambda p, m: prepare_queries(p, m, cfg_l))(
-        pw, mask)
-
-    def params(cfg):
-        return dict(packs=voxelmap._pack(cfg), voxel=float(cfg.voxel_size),
-                    stencil=(float(cfg.stencil_x), float(cfg.stencil_y),
-                             float(cfg.stencil_z)))
-
-    call = _dual_call(k, mode, params(cfg_g), params(cfg_l),
-                      float(scatter_ratio), interpret)
-    out = call(_gather_rows(cells_g, slot_g), _gather_rows(cells_l, slot_l),
-               meta_g, meta_l,
-               jnp.broadcast_to(jnp.asarray(thres, jnp.float32), (B,)))
-    return (out[..., 0:3], out[..., 3:6], out[..., 6] > 0.5,
-            out[..., 7] > 0.5)

@@ -31,7 +31,8 @@ if INTERPRET:
 from mmloam_tpu.config import LIOConfig
 from mmloam_tpu.data import synthetic
 from mmloam_tpu.estimator import factors
-from mmloam_tpu.ops import linalg3, pallas_assoc, voxelmap as vx
+from mmloam_tpu.ops import linalg3, voxelmap as vx
+from scripts import pallas_assoc  # archived kernel (round 4)
 
 
 def build(cfg, seed=0, n_scans=5):
@@ -117,18 +118,6 @@ def main():
                                rtol=1e-6, atol=1e-7)
     print("vmap == direct batch OK")
 
-    # dual-tier correctness (interpret + TPU): empty local map rescues
-    # nothing, so merged valids must equal the global-only fit gates
-    vm_l = vx.empty_map(cfg.local_map)
-    cells_lb = jnp.broadcast_to(vm_l.cells, (B,) + vm_l.cells.shape)
-    mu_d, vec_d, valid_d, used_l = pallas_assoc.assoc_dual_batched(
-        cells_b, cells_lb, pw_b, mask_b, jnp.float32(1.0), cfg.map,
-        cfg.local_map, mode=0,
-        scatter_ratio=cfg.solver.plane_scatter_ratio,
-        interpret=INTERPRET or None)
-    assert not bool(np.asarray(used_l).any()), "empty local map rescued?"
-    print(f"dual-tier OK ({int(np.asarray(valid_d).sum())} valid fits)")
-
     if INTERPRET:
         print("interpret mode: skipping timing")
         return
@@ -160,14 +149,6 @@ def main():
     dk = timed(k_fn, "pallas kernel")
     dx_ = timed(x_fn, "xla path    ")
     print(f"speedup: {dx_ / dk:.2f}x")
-
-    d_fn_raw = jax.jit(
-        lambda cg, cl, p, m: pallas_assoc.assoc_dual_batched(
-            cg, cl, p, m, jnp.float32(1.0), cfg.map, cfg.local_map,
-            mode=0, scatter_ratio=cfg.solver.plane_scatter_ratio))
-    d_fn = lambda p, m: d_fn_raw(cells_b, cells_lb, p, m)
-    dd = timed(d_fn, "dual kernel ")
-    print(f"dual vs 2x single: {2.0 * dk / dd:.2f}x")
 
 
 if __name__ == "__main__":

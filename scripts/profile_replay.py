@@ -136,7 +136,7 @@ def main(batch=8, n_scans=8, flagship=False):
     stage_of = {
         "ops/features.py": "feature_extraction",
         "ops/voxelmap.py": "map_query_assoc",
-        "ops/pallas_assoc.py": "map_query_assoc",
+        "scripts/pallas_assoc.py": "map_query_assoc",  # archived
         "ops/pallas_insert.py": "map_insert",
         "ops/preintegration.py": "imu_preintegration",
         "ops/downsample.py": "stack_downsample",

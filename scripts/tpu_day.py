@@ -12,7 +12,7 @@ the profile artifact.
      engine to the XLA path on failure, this step makes it LOUD)
   1. device probe
   2. pallas insert kernel check        (scripts/pallas_insert_test.py)
-  3. pallas assoc kernel check + bench (scripts/pallas_assoc_test.py)
+  3. archived assoc kernel check + bench (scripts/pallas_assoc_test.py)
   4. tiny-config replay smoke (accuracy unchanged on TPU)
   5. flagship bench                    (bench.py, 3-rep median)
   6. per-stage profile artifact        (PROFILE_r03.json)
@@ -43,22 +43,9 @@ def main():
         print("TPU not reachable; aborting")
         return 1
     steps = [
-        ("kernel lowering smoke", [
-            sys.executable, "-c",
-            "import sys; sys.path.insert(0, '.');"
-            "from mmloam_tpu.config import LIOConfig;"
-            "from mmloam_tpu.ops import pallas_assoc, voxelmap as vx;"
-            "cfg = LIOConfig();"
-            "cs = vx.empty_map(cfg.map).cells.shape;"
-            "cl = vx.empty_map(cfg.local_map).cells.shape;"
-            "ok1 = pallas_assoc.single_lowers(cs, 2048, cfg.map, mode=0,"
-            " scatter_ratio=cfg.solver.plane_scatter_ratio);"
-            "ok2 = pallas_assoc.dual_lowers(cs, cl, 2048, cfg.map,"
-            " cfg.local_map, mode=1);"
-            "print('single lowers:', ok1, ' dual lowers:', ok2);"
-            "sys.exit(0 if (ok1 and ok2) else 1)"]),
         ("insert kernel", [sys.executable, "scripts/pallas_insert_test.py"]),
-        ("assoc kernel", [sys.executable, "scripts/pallas_assoc_test.py"]),
+        ("archived assoc kernel",
+         [sys.executable, "scripts/pallas_assoc_test.py"]),
         ("tiny replay smoke", [sys.executable, "scripts/smoke_ate.py", "20"]),
         ("flagship bench", [sys.executable, "bench.py"]),
         ("profile artifact", [sys.executable, "scripts/profile_replay.py",

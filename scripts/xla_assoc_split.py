@@ -131,7 +131,7 @@ def _cli():
 def kernel_variant(B=16, M=2048):
     """Stage E: the compute-only Pallas kernel path (XLA gather + fused
     VMEM kernel), same harness — directly comparable to stage D."""
-    from mmloam_tpu.ops import pallas_assoc as pa
+    from scripts import pallas_assoc as pa  # archived kernel (round 4)
 
     cfg = LIOConfig()
     mcfg = cfg.map

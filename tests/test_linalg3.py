@@ -58,3 +58,52 @@ def test_solve3():
     x = np.array(linalg3.solve3(jnp.asarray(A), jnp.asarray(b)))
     np.testing.assert_allclose(np.einsum("kij,kj->ki", A, x), b,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_eigvalsh3_gate_regime_accuracy():
+    """The fit gates consume eigvalsh3 AT thresholds (plane scatter-rank
+    e_mid/e_hi vs 0.01, line-likeness e_hi vs 3*e_mid) exactly in the
+    near-degenerate regime where the closed form is least accurate
+    (vanishing discriminant = coinciding eigenvalues).  Sample spectra
+    straddling both thresholds — including near-double-root e_lo ~= e_mid
+    cases — under random rotations and magnitudes, and bound the f32 gate
+    RATIOS against f64 LAPACK: a gate decision can flip only for inputs
+    within the asserted band of the threshold.  (Ported from the archived
+    kernel's trig-free variant test when the kernel moved to scripts/.)"""
+    rng = np.random.default_rng(7)
+    specs = []
+    # plane scatter gate regime: e_mid/e_hi straddles 0.01
+    for ratio in np.geomspace(0.002, 0.05, 12):
+        for lo in (1e-7, 1e-4, ratio * 0.98):   # incl. e_lo ~= e_mid
+            specs.append((lo, ratio, 1.0))
+    # line gate regime: e_hi/e_mid straddles 3
+    for ratio in np.linspace(2.5, 3.5, 11):
+        for lo in (1e-6, 0.9 / ratio, 1.0 / ratio):  # incl. e_lo ~= e_mid
+            specs.append((lo / ratio if lo >= 0.5 else lo, 1.0 / ratio, 1.0))
+    specs = np.array(specs, np.float64)
+    n = len(specs)
+    mags = np.tile(np.array([1e-4, 1e-2, 1.0]), (n + 2) // 3)[:n]
+    specs = specs * mags[:, None]
+
+    A = np.empty((n, 3, 3), np.float64)
+    for i in range(n):
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        A[i] = q @ np.diag(specs[i]) @ q.T
+    exact = np.linalg.eigvalsh(A)                        # (n,3) ascending
+
+    got = np.asarray(linalg3.eigvalsh3(jnp.asarray(A.astype(np.float32))),
+                     np.float64)
+
+    # bounds are ~3x the measured maxima, so a gate decision can flip only
+    # within ~0.06% of its threshold
+    scale = exact[:, 2]
+    assert np.max(np.abs(got - exact) / scale[:, None]) < 6e-4
+
+    # plane scatter-rank gate: e_mid/e_hi error band around the 0.01 gate
+    r_got = got[:, 1] / np.maximum(got[:, 2], 1e-30)
+    r_ref = exact[:, 1] / exact[:, 2]
+    assert np.max(np.abs(r_got - r_ref)) < 6e-4
+    # line gate margin (e_hi - 3 e_mid), relative to the spectrum scale
+    m_got = (got[:, 2] - 3.0 * got[:, 1]) / scale
+    m_ref = (exact[:, 2] - 3.0 * exact[:, 1]) / scale
+    assert np.max(np.abs(m_got - m_ref)) < 1.6e-3

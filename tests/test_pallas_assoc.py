@@ -1,19 +1,30 @@
-"""Fused Pallas association kernel == the XLA association path.
+"""Archived Pallas association kernel == the XLA association path.
 
-Runs the kernel in interpret mode (CPU) against maps built by
-voxelmap.insert from ray-cast scans, and asserts the kernel's per-point
-selection (t_k, n), moments (mu), fits (normal / direction, eigenvalues)
-and gates (planarity) match what `voxelmap.query_candidates` +
-`select_k_smallest` + `factors._plane_fit`/`_line_fit` produce.
+The kernel family lives in scripts/pallas_assoc.py (archived round 4: the
+pure-XLA association engine measured faster end-to-end on v5e, see
+PARITY.md).  This single interpret-mode equivalence test keeps the
+archived single-tier kernel honest as a reference implementation: its
+per-point selection (t_k, n), moments (mu) and fits (plane normal / line
+direction + gates) must match what `voxelmap.query_candidates` +
+`select_k_smallest` + the production fit math produce.
 """
 
+import importlib.util
+import pathlib
+
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from mmloam_tpu.config import tiny_config
 from mmloam_tpu.data import synthetic
-from mmloam_tpu.ops import pallas_assoc, voxelmap as vx
+from mmloam_tpu.ops import linalg3, voxelmap as vx
+
+_SPEC = importlib.util.spec_from_file_location(
+    "pallas_assoc_archive",
+    pathlib.Path(__file__).resolve().parent.parent / "scripts"
+    / "pallas_assoc.py")
+pallas_assoc = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(pallas_assoc)
 
 
 def _build(seed=0, n_scans=4):
@@ -63,7 +74,17 @@ def _xla_reference(vm, pw, mask, cfg, k):
     return t_k, n, s1, s2, (dx, dy, dz, w)
 
 
-def test_plane_mode_matches_xla():
+def _sym3(s2m):
+    S = np.zeros((len(s2m), 3, 3), np.float32)
+    S[:, 0, 0], S[:, 0, 1], S[:, 0, 2] = s2m[:, 0], s2m[:, 1], s2m[:, 2]
+    S[:, 1, 0], S[:, 1, 1], S[:, 1, 2] = s2m[:, 1], s2m[:, 3], s2m[:, 4]
+    S[:, 2, 0], S[:, 2, 1], S[:, 2, 2] = s2m[:, 2], s2m[:, 4], s2m[:, 5]
+    return S
+
+
+def test_archived_kernel_matches_xla():
+    """Plane AND line mode of the archived kernel vs the XLA pipeline."""
+    # ---- plane mode ----
     cfg, vm, world, rng = _build()
     pw, mask = _queries(world, rng)
     k = cfg.map.knn
@@ -80,37 +101,24 @@ def test_plane_mode_matches_xla():
     have = (n_r >= k) & (t_r < 1.0) & np.asarray(mask)
     assert have.sum() > 50, have.sum()
 
-    # selection identical
     np.testing.assert_array_equal(np.asarray(n)[have], n_r[have])
     np.testing.assert_allclose(np.asarray(t_k)[have], t_r[have],
                                rtol=1e-5, atol=1e-7)
-    # moments identical
     nf = np.maximum(n_r, 1.0)
     mu_r = np.asarray(s1_r) / nf[:, None]
     np.testing.assert_allclose(np.asarray(mu)[have], mu_r[have],
                                rtol=1e-4, atol=1e-5)
 
-    # plane fit: normal matches the XLA centered-scatter smallest
-    # eigenvector up to sign
-    from mmloam_tpu.ops import linalg3
-    s2m = np.asarray(s2_r)
-    S = np.zeros((len(nf), 3, 3), np.float32)
-    S[:, 0, 0], S[:, 0, 1], S[:, 0, 2] = s2m[:, 0], s2m[:, 1], s2m[:, 2]
-    S[:, 1, 0], S[:, 1, 1], S[:, 1, 2] = s2m[:, 1], s2m[:, 3], s2m[:, 4]
-    S[:, 2, 0], S[:, 2, 1], S[:, 2, 2] = s2m[:, 2], s2m[:, 4], s2m[:, 5]
-    scov = S - nf[:, None, None] * mu_r[:, :, None] * mu_r[:, None, :]
+    scov = _sym3(np.asarray(s2_r)) \
+        - nf[:, None, None] * mu_r[:, :, None] * mu_r[:, None, :]
     ev_r = np.asarray(linalg3.eigvalsh3(jnp.asarray(scov)))
     om_r = np.asarray(linalg3.smallest_eigvec3(jnp.asarray(scov),
                                                jnp.asarray(ev_r)))
-    # eigenvector direction is only well-conditioned when lo/mid separate;
-    # ill-separated fits are rejected by the gates regardless
     cond = have & ((ev_r[:, 1] - ev_r[:, 0]) > 0.1 * ev_r[:, 2])
     assert cond.sum() > 40, cond.sum()
     dots = np.abs(np.sum(np.asarray(vec)[cond] * om_r[cond], axis=-1))
     assert (dots > 0.999).all(), dots.min()
 
-    # in-kernel validity == the XLA full gate (have5 & planarity & scatter
-    # & error floor & mask) where fits are well-conditioned
     dx, dy, dz, w = blk
     dev = ((np.asarray(dx) - mu_r[:, 0, None, None]) * om_r[:, 0, None, None]
            + (np.asarray(dy) - mu_r[:, 1, None, None]) * om_r[:, 1, None, None]
@@ -125,11 +133,9 @@ def test_plane_mode_matches_xla():
     agree = (np.asarray(valid)[cond] == valid_r[cond])
     assert agree.mean() > 0.98, agree.mean()
 
-
-def test_line_mode_matches_xla():
+    # ---- line mode ----
     cfg, vm, world, rng = _build(seed=5)
     pw, mask = _queries(world, rng, origin=(0.3, -0.4, 0.0))
-    k = cfg.map.knn
 
     mu, vec, valid, t_k, n = pallas_assoc.assoc_batched(
         vm.cells[None], pw[None], mask[None], jnp.float32(1.0), cfg.map,
@@ -144,14 +150,8 @@ def test_line_mode_matches_xla():
     np.testing.assert_array_equal(np.asarray(n)[have], n_r[have])
     nf = np.maximum(n_r, 1.0)
     mu_r = np.asarray(s1_r) / nf[:, None]
-
-    from mmloam_tpu.ops import linalg3
-    s2m = np.asarray(s2_r)
-    S = np.zeros((len(nf), 3, 3), np.float32)
-    S[:, 0, 0], S[:, 0, 1], S[:, 0, 2] = s2m[:, 0], s2m[:, 1], s2m[:, 2]
-    S[:, 1, 0], S[:, 1, 1], S[:, 1, 2] = s2m[:, 1], s2m[:, 3], s2m[:, 4]
-    S[:, 2, 0], S[:, 2, 1], S[:, 2, 2] = s2m[:, 2], s2m[:, 4], s2m[:, 5]
-    cov = S / nf[:, None, None] - mu_r[:, :, None] * mu_r[:, None, :]
+    cov = _sym3(np.asarray(s2_r)) / nf[:, None, None] \
+        - mu_r[:, :, None] * mu_r[:, None, :]
     ev_r = np.asarray(linalg3.eigvalsh3(jnp.asarray(cov)))
     line_like = ev_r[:, 2] > 3.0 * ev_r[:, 1]
     u_r = np.asarray(linalg3.principal_eigvec3(jnp.asarray(cov),
@@ -160,187 +160,5 @@ def test_line_mode_matches_xla():
     if sel.sum():
         dots = np.abs(np.sum(np.asarray(vec)[sel] * u_r[sel], axis=-1))
         assert (dots > 0.999).mean() > 0.95, dots.min()
-    # in-kernel validity implies the line-likeness gate
     v_np = np.asarray(valid)
-    assert (line_like[v_np & have] | True).all()
     assert ((~line_like[have]) <= (~v_np[have])).all()
-
-
-def test_masked_and_empty_map():
-    cfg, vm, world, rng = _build()
-    pw, mask = _queries(world, rng, M=128)
-    empty = vx.empty_map(cfg.map)
-    mu, vec, valid, t_k, n = pallas_assoc.assoc_batched(
-        empty.cells[None], pw[None], mask[None], jnp.float32(1.0), cfg.map,
-        mode=0, interpret=True)
-    assert np.isinf(np.asarray(t_k)).all()
-    assert (np.asarray(n) == 0).all() and not np.asarray(valid).any()
-    # masked points find nothing even on a populated map
-    none = jnp.zeros_like(mask)
-    _, _, v2, t2, n2 = pallas_assoc.assoc_batched(
-        vm.cells[None], pw[None], none[None], jnp.float32(1.0), cfg.map,
-        mode=0, interpret=True)
-    assert np.isinf(np.asarray(t2)).all() and (np.asarray(n2) == 0).all()
-    assert not np.asarray(v2).any()
-
-
-def test_dual_tier_matches_xla_path():
-    """assoc_dual_batched == the XLA dual-tier association (global fit,
-    local fallback where it fails) on a thin global + dense local map."""
-    from mmloam_tpu.estimator import factors
-
-    cfg, vm, world, rng = _build(seed=2, n_scans=2)  # thin-ish global map
-    vm_l = vx.empty_map(cfg.local_map)
-    az = np.linspace(-np.pi, np.pi, 720, endpoint=False)
-    elevs = np.deg2rad([-12.0, -4.0, 4.0, 12.0])
-    A, E = np.meshgrid(az, elevs)
-    dirs = np.stack([np.cos(E) * np.cos(A), np.cos(E) * np.sin(A),
-                     np.sin(E)], -1).reshape(-1, 3)
-    for i in range(3):
-        o = np.array([0.3 * i, 0.1 * i, 0.0])
-        r = world.raycast(o, dirs)
-        ok = np.isfinite(r)
-        pts = o + dirs * np.where(ok, r, 0.0)[:, None]
-        vm_l = vx.insert(vm_l, jnp.asarray(pts, jnp.float32),
-                         jnp.asarray(ok), cfg.local_map)
-
-    pw, mask = _queries(world, rng, M=256)
-    thres = 1.0
-
-    mu, vec, valid, used_l = pallas_assoc.assoc_dual_batched(
-        vm.cells[None], vm_l.cells[None], pw[None], mask[None],
-        jnp.float32(thres), cfg.map, cfg.local_map, mode=0,
-        scatter_ratio=cfg.solver.plane_scatter_ratio, interpret=True)
-    mu, vec, valid, used_l = mu[0], vec[0], valid[0], used_l[0]
-
-    # XLA reference: the factors-level dual-tier path at identity pose
-    x6 = jnp.zeros(6, jnp.float32)
-    I3, z3 = jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32)
-    pt, omega, nv = factors.associate_planes(
-        x6, pw, mask, vm, I3, z3, cfg, thres, 0.0, vm_local=vm_l)
-
-    v_ref = np.asarray(pt.valid)
-    v_k = np.asarray(valid)
-    agree = (v_ref == v_k).mean()
-    assert agree > 0.97, agree
-    assert np.asarray(used_l).sum() > 5, "local tier should rescue some"
-    both = v_ref & v_k
-    assert both.sum() > 50
-    # fits agree where both accept: projected target via mu/vec
-    dist = -np.sum(np.asarray(vec) * np.asarray(mu), axis=-1)
-    proj_k = np.asarray(pw) - dist[:, None] * np.asarray(vec)
-    np.testing.assert_allclose(proj_k[both], np.asarray(pt.proj)[both],
-                               rtol=1e-3, atol=2e-4)
-
-
-def test_vmap_folds_into_batch_grid():
-    """vmap(assoc) == direct batched call: the custom_vmap rule folds the
-    outer axis into the kernel's native batch grid (the generic pallas
-    batching rule cannot block the ANY-memory cells operand on TPU)."""
-    cfg, vm, world, rng = _build()
-    k = cfg.map.knn
-    pw0, m0 = _queries(world, rng)
-    pw1, m1 = _queries(world, rng, origin=(0.2, 0.8, -0.05))
-    pw = jnp.stack([pw0, pw1])
-    mask = jnp.stack([m0, m1])
-    cells = jnp.stack([vm.cells, vm.cells * 1.0])
-    thres = jnp.asarray([1.0, 0.8], jnp.float32)
-
-    def one(c, p, m, t):
-        return pallas_assoc.assoc_batched(
-            c[None], p[None], m[None], t, cfg.map, mode=0, k=k,
-            scatter_ratio=cfg.solver.plane_scatter_ratio, interpret=True)
-
-    vm_out = jax.vmap(one)(cells, pw, mask, thres)
-    for b in range(2):
-        ref = one(cells[b], pw[b], mask[b], thres[b])
-        for a, r in zip(vm_out, ref):
-            np.testing.assert_allclose(np.asarray(a[b][0]), np.asarray(r[0]),
-                                       rtol=1e-6, atol=1e-6)
-
-
-def test_vmap_dual_with_shared_local_map():
-    """Dual-tier under vmap, with the LOCAL map UNBATCHED (shared across
-    lanes): exercises the bmap indirection (no broadcast of cells)."""
-    cfg, vm, world, rng = _build()
-    k = cfg.map.knn
-    lcfg = cfg.local_map
-    vml = vx.empty_map(lcfg)
-    pts = jnp.asarray(rng.uniform(-3, 3, (512, 3)), jnp.float32)
-    vml = vx.insert(vml, pts, jnp.ones((512,), bool), lcfg)
-
-    pw0, m0 = _queries(world, rng)
-    pw1, m1 = _queries(world, rng, origin=(0.2, 0.8, -0.05))
-    pw = jnp.stack([pw0, pw1])
-    mask = jnp.stack([m0, m1])
-    cells_g = jnp.stack([vm.cells, vm.cells])
-    thres = jnp.asarray([1.0, 1.0], jnp.float32)
-
-    def one(cg, p, m, t):
-        return pallas_assoc.assoc_dual_batched(
-            cg[None], vml.cells[None], p[None], m[None], t, cfg.map, lcfg,
-            mode=0, k=k, interpret=True)
-
-    vm_out = jax.vmap(one)(cells_g, pw, mask, thres)
-    for b in range(2):
-        ref = one(cells_g[b], pw[b], mask[b], thres[b])
-        for a, r in zip(vm_out, ref):
-            np.testing.assert_allclose(np.asarray(a[b][0]), np.asarray(r[0]),
-                                       rtol=1e-6, atol=1e-6)
-
-
-def test_eigvalsh_gate_regime_accuracy():
-    """VERDICT r02 weak #5: the fit gates consume the trig-free kernel
-    eigenvalues AT thresholds (plane scatter-rank e_mid/e_hi vs 0.01,
-    line-likeness e_hi vs 3*e_mid) in exactly the near-degenerate regime
-    where `_cos_third_acos` is least accurate (vanishing discriminant =
-    coinciding eigenvalues).  Sample spectra straddling both thresholds —
-    including near-double-root e_lo ~= e_mid cases — under random
-    rotations and magnitudes, and bound the f32 gate RATIOS against f64
-    LAPACK: a gate decision can flip only for inputs within the asserted
-    band of the threshold."""
-    rng = np.random.default_rng(7)
-    specs = []
-    # plane scatter gate regime: e_mid/e_hi straddles 0.01
-    for ratio in np.geomspace(0.002, 0.05, 12):
-        for lo in (1e-7, 1e-4, ratio * 0.98):   # incl. e_lo ~= e_mid
-            specs.append((lo, ratio, 1.0))
-    # line gate regime: e_hi/e_mid straddles 3
-    for ratio in np.linspace(2.5, 3.5, 11):
-        for lo in (1e-6, 0.9 / ratio, 1.0 / ratio):  # incl. e_lo ~= e_mid
-            specs.append((lo / ratio if lo >= 0.5 else lo, 1.0 / ratio, 1.0))
-    specs = np.array(specs, np.float64)
-    n = len(specs)
-    mags = np.tile(np.array([1e-4, 1e-2, 1.0]), (n + 2) // 3)[:n]
-    specs = specs * mags[:, None]
-
-    A = np.empty((n, 3, 3), np.float64)
-    for i in range(n):
-        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
-        A[i] = q @ np.diag(specs[i]) @ q.T
-    exact = np.linalg.eigvalsh(A)                        # (n,3) ascending
-
-    Af = A.astype(np.float32)
-    lo32, mid32, hi32 = jax.jit(pallas_assoc._eigvalsh3_lanes)(
-        jnp.asarray(Af[:, 0, 0]), jnp.asarray(Af[:, 0, 1]),
-        jnp.asarray(Af[:, 0, 2]), jnp.asarray(Af[:, 1, 1]),
-        jnp.asarray(Af[:, 1, 2]), jnp.asarray(Af[:, 2, 2]))
-    lo32, mid32, hi32 = (np.asarray(lo32, np.float64),
-                         np.asarray(mid32, np.float64),
-                         np.asarray(hi32, np.float64))
-
-    # bounds are 3x the measured maxima (1.8e-4 / 1.8e-4 / 5.4e-4), so
-    # a gate decision can flip only within ~0.06% of its threshold
-    scale = exact[:, 2]
-    for got, ref in ((lo32, exact[:, 0]), (mid32, exact[:, 1]),
-                     (hi32, exact[:, 2])):
-        assert np.max(np.abs(got - ref) / scale) < 6e-4
-
-    # plane scatter-rank gate: e_mid/e_hi error band around the 0.01 gate
-    r_got = mid32 / np.maximum(hi32, 1e-30)
-    r_ref = exact[:, 1] / exact[:, 2]
-    assert np.max(np.abs(r_got - r_ref)) < 6e-4
-    # line gate margin (e_hi - 3 e_mid), relative to the spectrum scale
-    m_got = (hi32 - 3.0 * mid32) / scale
-    m_ref = (exact[:, 2] - 3.0 * exact[:, 1]) / scale
-    assert np.max(np.abs(m_got - m_ref)) < 1.6e-3
