@@ -8,6 +8,8 @@ over a batch of sequences, and ATE metrics against ground truth.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -188,7 +190,13 @@ def replay_batch(states, scans, cfg, mesh=None):
     use_pallas = jax.default_backend() != "cpu"
     key = (cfg, None if mesh is None else tuple(mesh.axis_names), use_pallas)
     if key not in _BATCH_RUNNERS:
-        @jax.jit
+        # the input state is DONATED: it aliases the output state's buffers,
+        # halving peak HBM (the per-sequence maps dominate — ~165 MB/seq at
+        # flagship dims; without donation batch 32 exceeded v5e's 16 GB).
+        # Callers must not reuse the passed `states` after the call (bench
+        # and the dryrun rebuild it; XLA:CPU ignores donation, so the
+        # CPU-pinned tests are unaffected).
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def run(bs, bsc):
             if use_pallas:
                 def body(s, sc):

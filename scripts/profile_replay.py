@@ -51,12 +51,21 @@ def main(batch=8, n_scans=8, flagship=False):
             [pipeline.init_state(cfg) for _ in range(batch)])
 
     # warm up (compile)
+    from mmloam_tpu import pipeline as _pl
+    batch = batch_scans.t.shape[1]
+    def fresh_state():
+        # replay_batch donates the state — rebuild per call
+        s = replay.stack_states([_pl.init_state(cfg)
+                                 for _ in range(batch)])
+        jax.block_until_ready(s.vm_surf.cells)
+        return s
     st, outs = replay.replay_batch(batch_state, batch_scans, cfg)
     np.asarray(outs.pose_p)
 
     trace_dir = "/tmp/mmloam_trace"
     os.system(f"rm -rf {trace_dir}")
     timed = batch_scans._replace(pts=batch_scans.pts + np.float32(1e-5))
+    batch_state = fresh_state()
     with jax.profiler.trace(trace_dir):
         t0 = time.perf_counter()
         st, outs = replay.replay_batch(batch_state, timed, cfg)
