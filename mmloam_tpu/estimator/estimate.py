@@ -49,6 +49,13 @@ class Stacks(NamedTuple):
     The non-feature block is optional (None unless cfg.use_nonfeature) —
     residual unclassified points matched against the non-feature map with
     1-dim plane factors (processNonFeatureICP, Estimator.cpp:780-935).
+
+    The *_rel channels are the voxel-MEAN intra-scan relative measurement
+    times of each stack point: the pipeline re-deskews the newest frame's
+    stacks with the SOLVED scan delta after each solve (the prediction-
+    based undistortion of the first scans has no motion estimate and
+    leaves the full skew in the map otherwise — pipeline.step_core).
+    Field order mirrors pipeline.FrameStack (tuple-spread construction).
     """
 
     corner: jnp.ndarray       # (W, Kc, 3)
@@ -57,6 +64,9 @@ class Stacks(NamedTuple):
     surf_mask: jnp.ndarray    # (W, Ks)
     non: jnp.ndarray = None        # (W, Kn, 3)
     non_mask: jnp.ndarray = None   # (W, Kn)
+    corner_rel: jnp.ndarray = None  # (W, Kc)
+    surf_rel: jnp.ndarray = None    # (W, Ks)
+    non_rel: jnp.ndarray = None     # (W, Kn)
 
 
 class EstimateResult(NamedTuple):
@@ -68,6 +78,12 @@ class EstimateResult(NamedTuple):
     rfs: reduced.ReducedFactor  # (W,) updated cached point factors
     n_line: jnp.ndarray       # () valid line factors (diagnostics)
     n_plane: jnp.ndarray      # () valid plane factors
+    # (3,3) summed plane-normal Gram Σ ω ωᵀ over valid window frames (the
+    # localizability matrix) — the pipeline's direction-selective
+    # degenerate update projects window deltas onto its observable
+    # eigenvectors (the principled form of Estimator.cpp:1050-1066's
+    # keep-x/y-hold-z fallback)
+    NtN: jnp.ndarray
 
 
 def _rf_set_slot(rfs, rf, slot):
@@ -241,7 +257,9 @@ def estimate(x0, stacks: Stacks, cached_rfs, vm_corner, vm_surf, preint,
                              new_prior, prior)
 
     fvl = frame_valid
+    NtN = jnp.sum(rfs.NtN * fvl.astype(dtype)[:, None, None], axis=0)
     return EstimateResult(
         x=x, degenerate=deg, fail=fail, sv_min=sv, prior=new_prior, rfs=rfs,
         n_line=jnp.sum(jnp.where(fvl, rfs.n_line, 0)).astype(jnp.int32),
-        n_plane=jnp.sum(jnp.where(fvl, rfs.n_plane, 0)).astype(jnp.int32))
+        n_plane=jnp.sum(jnp.where(fvl, rfs.n_plane, 0)).astype(jnp.int32),
+        NtN=NtN)

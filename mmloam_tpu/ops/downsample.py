@@ -56,7 +56,8 @@ def _seg_scan_sum(vals, starts):
     return out
 
 
-def voxel_downsample_multi(pts, masks, leaves, capacities, table: int = 8192):
+def voxel_downsample_multi(pts, masks, leaves, capacities, table: int = 8192,
+                           extra=None):
     """Downsample disjoint point classes of one scan in one sorted sweep.
 
     pts: (N, 3); masks: sequence of (N,) bool, mutually disjoint (a point
@@ -65,6 +66,10 @@ def voxel_downsample_multi(pts, masks, leaves, capacities, table: int = 8192):
     out_mask (capacity,), n ()) per class — identical per class to
     `voxel_downsample(pts, mask_c, leaf_c, capacity_c)`.  `table` is kept
     for API compatibility and ignored (the sort path has no hash table).
+
+    `extra` (N,) optional per-point scalar payload (e.g. the intra-scan
+    relative measurement time): voxel-MEAN-reduced alongside the centroid
+    and returned as a 4th tuple element (capacity,) per class.
 
     Key packing: key1 = class * 2^27 + (v_x + 2^26)  (invalid -> 2^30,
     sorts last), key2 = (v_y + 2^15) << 16 | (v_z + 2^15) as a raw i32 bit
@@ -99,9 +104,13 @@ def voxel_downsample_multi(pts, masks, leaves, capacities, table: int = 8192):
         rel = jnp.where(mask[:, None], pts - cornr, rel)
         corner = jnp.where(mask[:, None], cornr, corner)
 
-    k1s, k2s, rxs, rys, rzs, cxs, cys, czs = jax.lax.sort(
-        (key1, key2, rel[:, 0], rel[:, 1], rel[:, 2],
-         corner[:, 0], corner[:, 1], corner[:, 2]), num_keys=2)
+    ops = [key1, key2, rel[:, 0], rel[:, 1], rel[:, 2],
+           corner[:, 0], corner[:, 1], corner[:, 2]]
+    if extra is not None:
+        ops.append(extra.astype(dtype))
+    sorted_ops = jax.lax.sort(tuple(ops), num_keys=2)
+    k1s, k2s, rxs, rys, rzs, cxs, cys, czs = sorted_ops[:8]
+    exs = sorted_ops[8] if extra is not None else None
 
     valid_s = k1s < _I32_BIG
     starts = jnp.concatenate(
@@ -110,25 +119,35 @@ def voxel_downsample_multi(pts, masks, leaves, capacities, table: int = 8192):
     ends = jnp.concatenate(
         [(k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1]),
          jnp.ones((1,), bool)])
-    pay = jnp.stack([rxs, rys, rzs, jnp.ones((N,), dtype)], axis=-1)
+    cols = [rxs, rys, rzs]
+    if exs is not None:
+        cols.append(exs)
+    pay = jnp.stack(cols + [jnp.ones((N,), dtype)], axis=-1)
     seg = _seg_scan_sum(pay, starts)
 
     ok_end = ends & valid_s
     cls_s = jnp.where(valid_s, k1s >> 27, n_cls)
-    centroid = (jnp.stack([cxs, cys, czs], axis=-1)
-                + seg[:, 0:3] / jnp.maximum(seg[:, 3:4], 1.0))
+    cnt = jnp.maximum(seg[:, -1:], 1.0)
+    centroid = jnp.stack([cxs, cys, czs], axis=-1) + seg[:, 0:3] / cnt
+    emean = seg[:, 3] / cnt[:, 0] if exs is not None else None
 
     # compact ok segment-ends to the front, preserving (class, voxel) order
     grank = jnp.cumsum(ok_end.astype(jnp.int32)) - 1
     key3 = jnp.where(ok_end, grank, _I32_BIG)
-    _, ocx, ocy, ocz = jax.lax.sort(
-        (key3, centroid[:, 0], centroid[:, 1], centroid[:, 2]), num_keys=1)
+    sort_ops = [key3, centroid[:, 0], centroid[:, 1], centroid[:, 2]]
+    if emean is not None:
+        sort_ops.append(emean)
+    sorted2 = jax.lax.sort(tuple(sort_ops), num_keys=1)
+    ocx, ocy, ocz = sorted2[1:4]
+    oce = sorted2[4] if emean is not None else None
 
     max_cap = max(capacities)
     padz = jnp.zeros((max_cap,), dtype)
     ocx = jnp.concatenate([ocx, padz])
     ocy = jnp.concatenate([ocy, padz])
     ocz = jnp.concatenate([ocz, padz])
+    if oce is not None:
+        oce = jnp.concatenate([oce, padz])
 
     okf = ok_end.astype(jnp.int32)
     outs = []
@@ -139,7 +158,10 @@ def voxel_downsample_multi(pts, masks, leaves, capacities, table: int = 8192):
         out_mask = jnp.arange(capacity) < n
         out = jnp.where(out_mask[:, None],
                         jnp.stack([sl(ocx), sl(ocy), sl(ocz)], axis=-1), 0.0)
-        outs.append((out, out_mask, n))
+        if oce is not None:
+            outs.append((out, out_mask, n, jnp.where(out_mask, sl(oce), 0.0)))
+        else:
+            outs.append((out, out_mask, n))
     return outs
 
 

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from . import lie
 from .estimator import estimate as est
 from .estimator import initializer, reduced, solver
-from .ops import downsample, features, preintegration, undistort, voxelmap
+from .ops import (downsample, features, linalg3, preintegration, undistort,
+                  voxelmap)
 
 N_KF = 3          # init keyframes (pre-init WINDOWSIZE, unionPoseEstimation.cpp:1481)
 KF_EVERY = 3      # keyframe cadence (veloPushCount, :947-960)
@@ -112,6 +113,16 @@ class LIOState(NamedTuple):
     kf_x: jnp.ndarray       # (N_KF, 7) [q, p] lidar pose
     kf_t: jnp.ndarray       # (N_KF,)
     kf_stacks: "est.Stacks"  # (N_KF, ...) keyframe feature stacks
+    # each keyframe's pre-init ReducedFactor (built by its own scan's
+    # short-window estimate against the same persistent map): seeds the
+    # post-init window's cached factors so the FIRST full solve has point
+    # factors on every frame — with cleared factors only
+    # refresh_old_frames slots get associated per scan, and the
+    # factorless keyframes slid on the fresh (noisy) init velocity via
+    # the IMU factors alone (measured +0.2 m front-pose jump at init in
+    # the corridor scene).  Keyframe poses are kept at init (:616-619),
+    # so the snapshots remain exactly consistent.
+    kf_rfs: "reduced.ReducedFactor"  # (N_KF,)
     kf_imu: jnp.ndarray     # (N_KF, Mi, 7) [acc, gyr, dt]
     kf_imu_mask: jnp.ndarray   # (N_KF, Mi)
     kf_imu_n: jnp.ndarray   # (N_KF,) fill level
@@ -141,12 +152,15 @@ def init_state(cfg, Rbl=None, tbl=None, dtype=jnp.float32, kf_imu_cap=256):
         extra = {}
         if cfg.use_nonfeature:
             extra = dict(non=jnp.zeros((n, sc.max_nonfeature, 3), dtype),
-                         non_mask=jnp.zeros((n, sc.max_nonfeature), bool))
+                         non_mask=jnp.zeros((n, sc.max_nonfeature), bool),
+                         non_rel=jnp.zeros((n, sc.max_nonfeature), dtype))
         return est.Stacks(
             corner=jnp.zeros((n, sc.max_corner, 3), dtype),
             corner_mask=jnp.zeros((n, sc.max_corner), bool),
             surf=jnp.zeros((n, sc.max_surf, 3), dtype),
-            surf_mask=jnp.zeros((n, sc.max_surf), bool), **extra)
+            surf_mask=jnp.zeros((n, sc.max_surf), bool),
+            corner_rel=jnp.zeros((n, sc.max_corner), dtype),
+            surf_rel=jnp.zeros((n, sc.max_surf), dtype), **extra)
 
     return LIOState(
         x=jnp.zeros((W, 15), dtype),
@@ -188,6 +202,9 @@ def init_state(cfg, Rbl=None, tbl=None, dtype=jnp.float32, kf_imu_cap=256):
         kf_x=jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 0], dtype), (N_KF, 1)),
         kf_t=jnp.zeros((N_KF,), dtype),
         kf_stacks=make_stacks(N_KF),
+        kf_rfs=jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (N_KF,) + a.shape).copy(),
+            reduced.empty_reduced(dtype)),
         kf_imu=jnp.zeros((N_KF, kf_imu_cap, 7), dtype),
         kf_imu_mask=jnp.zeros((N_KF, kf_imu_cap), bool),
         kf_imu_n=jnp.zeros((N_KF,), jnp.int32),
@@ -231,19 +248,24 @@ def _shift_window(state: LIOState, new_x, new_t, new_stacks_frame, new_preint,
 
 
 class FrameStack(NamedTuple):
+    # field order mirrors est.Stacks (tuple-spread construction sites)
     corner: jnp.ndarray
     corner_mask: jnp.ndarray
     surf: jnp.ndarray
     surf_mask: jnp.ndarray
     non: jnp.ndarray = None
     non_mask: jnp.ndarray = None
+    corner_rel: jnp.ndarray = None
+    surf_rel: jnp.ndarray = None
+    non_rel: jnp.ndarray = None
 
 
-def _build_stacks(flat_pts, flat_labels, flat_valid, cfg, dtype):
+def _build_stacks(flat_pts, flat_rel, flat_labels, flat_valid, cfg, dtype):
     """Label split + voxel downsample into one frame's fixed stacks.
 
-    All classes share ONE two-pass multi-class scatter (the label masks
-    are disjoint) — see ops/downsample.voxel_downsample_multi.
+    All classes share ONE sorted sweep (the label masks are disjoint) —
+    see ops/downsample.voxel_downsample_multi.  Each stack point carries
+    its voxel-mean relative measurement time (for post-solve re-deskew).
     """
     sc = cfg.scan
     masks = [flat_valid & (flat_labels == 1), flat_valid & (flat_labels == 2)]
@@ -255,14 +277,18 @@ def _build_stacks(flat_pts, flat_labels, flat_valid, cfg, dtype):
         masks.append(flat_valid & (flat_labels == 0))
         leaves.append(sc.filter_nonfeature)
         caps.append(sc.max_nonfeature)
-    outs = downsample.voxel_downsample_multi(flat_pts, masks, leaves, caps)
-    (corner, cmask, _), (surf, smask, _) = outs[0], outs[1]
+    outs = downsample.voxel_downsample_multi(flat_pts, masks, leaves, caps,
+                                             extra=flat_rel)
+    (corner, cmask, _, crel), (surf, smask, _, srel) = outs[0], outs[1]
     extra = {}
     if cfg.use_nonfeature:
-        non, nmask, _ = outs[2]
-        extra = dict(non=non.astype(dtype), non_mask=nmask)
+        non, nmask, _, nrel = outs[2]
+        extra = dict(non=non.astype(dtype), non_mask=nmask,
+                     non_rel=nrel.astype(dtype))
     return FrameStack(corner=corner.astype(dtype), corner_mask=cmask,
-                      surf=surf.astype(dtype), surf_mask=smask, **extra)
+                      surf=surf.astype(dtype), surf_mask=smask,
+                      corner_rel=crel.astype(dtype),
+                      surf_rel=srel.astype(dtype), **extra)
 
 
 class PreparedFrame(NamedTuple):
@@ -278,6 +304,8 @@ class PreparedFrame(NamedTuple):
     rfs_w: "reduced.ReducedFactor"   # cached factors, shifted with the window
     q_wl_pred: jnp.ndarray   # predicted lidar pose (for fallbacks)
     p_wl_pred: jnp.ndarray
+    dq_l: jnp.ndarray        # predicted lidar scan delta (undistortion)
+    dt_l: jnp.ndarray
     q_prev: jnp.ndarray      # previous newest body pose
     p_prev: jnp.ndarray
     have_prev: jnp.ndarray
@@ -407,7 +435,7 @@ def prepare_frame(state: LIOState, scan: ScanInput, cfg) -> PreparedFrame:
     pts_ds = undistort.undistort(flat_pts, flat_rel, dq_l, dt_l)
 
     # ---- 4. stacks ----------------------------------------------------
-    fstack = _build_stacks(pts_ds, flat_lab, flat_ok, cfg, dtype)
+    fstack = _build_stacks(pts_ds, flat_rel, flat_lab, flat_ok, cfg, dtype)
 
     # ---- 5. window push ----------------------------------------------
     new_preint = dict(dq=pre.dq.astype(dtype), dp=pre.dp.astype(dtype),
@@ -452,6 +480,7 @@ def prepare_frame(state: LIOState, scan: ScanInput, cfg) -> PreparedFrame:
                          stacks_w=est.Stacks(*stacks_w), preint_w=preint_w,
                          pv_w=pv_w, prior_w=prior_w, rfs_w=rfs_w,
                          q_wl_pred=q_wl_pred, p_wl_pred=p_wl_pred,
+                         dq_l=dq_l, dt_l=dt_l,
                          q_prev=q_prev, p_prev=p_prev, have_prev=have_prev,
                          fstack=fstack, fast_rotation=fast_rotation,
                          hori_merged=hori_merged)
@@ -581,25 +610,58 @@ def step_core(state: LIOState, scan: ScanInput, cfg):
         return est.EstimateResult(
             x=x_w, degenerate=jnp.asarray(False), fail=jnp.asarray(False),
             sv_min=jnp.asarray(-1.0, dtype), prior=prior_w, rfs=pf.rfs_w,
-            n_line=jnp.int32(0), n_plane=jnp.int32(0))
+            n_line=jnp.int32(0), n_plane=jnp.int32(0),
+            NtN=jnp.zeros((3, 3), dtype))
 
     res = jax.lax.cond(can_estimate, est_branch, skip_branch, None)
-    # solve-jump guard (cfg.failsafe.max_solve_jump): a failed
-    # localizability check plus a large newest-pose jump means the solver
-    # slid along a flat cost direction — keep the predicted window instead.
-    # The prior is INVALIDATED on revert rather than restored: prior_w binds
-    # the current slot-0 frame, but the window shifts every step, so a
-    # restored prior would be applied to a different frame next step with a
-    # stale linearization point — during a multi-scan degenerate stretch it
-    # would anchor slot 0 to an increasingly old pose and drag the
-    # dead-reckoned trajectory backward.  Dropping it costs one frame of
-    # marginalized history; the next successful full-window solve rebuilds
-    # it.
-    jump = jnp.linalg.norm(res.x[-1, 0:3] - x_w[-1, 0:3])
+    # Direction-selective degenerate update: when the localizability check
+    # FAILS (sv_min < degenerate_sv — the solver can slide freely along
+    # the normals' null direction, e.g. the along-axis translation in a
+    # corridor), project each frame's translation/velocity DELTA (vs the
+    # pre-solve window x_w: prediction for the newest frame, previous
+    # optimized states for the others) onto the OBSERVABLE subspace of the
+    # plane-normal Gram matrix Σ ω ωᵀ — directions whose singular value
+    # clears the gate keep the optimized update, unobservable directions
+    # hold the pre-solve value.  This is the principled version of the
+    # reference's keep-optimized-x/y-hold-predicted-z fallback
+    # (Estimator.cpp:1050-1066), replacing the r3 all-or-nothing revert
+    # that discarded the observable components too.  Rotation and biases
+    # keep the optimized values (plane normals observe rotation even in a
+    # corridor).  Too-few-normals failures have NtN ~ 0, so the
+    # projection degenerates to the old full revert.  (Scene-matrix note:
+    # the corridor SCENE's ATE was dominated by warmup skew + init
+    # seeding — fixed by stage 7b and kf_rfs, 0.23 -> 0.10 m — not by
+    # this path; this path guards genuinely degenerate stretches, where
+    # localizability actually fails: test_degenerate/test_stress.)
+    evN = linalg3.eigvalsh3(res.NtN)               # ascending (3,)
+    v_lo = linalg3.smallest_eigvec3(res.NtN, evN)
+    v_hi = linalg3.principal_eigvec3(res.NtN, evN)
+    v_mid = jnp.cross(v_hi, v_lo)                  # symmetric => orthogonal
+    VN = jnp.stack([v_lo, v_mid, v_hi], axis=1)    # columns, ascending
+    sv_dir = jnp.sqrt(jnp.maximum(evN, 0.0))
+    obs = (sv_dir >= cfg.solver.degenerate_sv).astype(dtype)
+    P_obs = (VN * obs[None, :]) @ VN.T             # observable projector
+    dP = (res.x[:, 0:3] - x_w[:, 0:3]) @ P_obs.T
+    dV = (res.x[:, 6:9] - x_w[:, 6:9]) @ P_obs.T
+    x_sel = res.x.at[:, 0:3].set(x_w[:, 0:3] + dP)
+    x_sel = x_sel.at[:, 6:9].set(x_w[:, 6:9] + dV)
+    x_sel = jnp.where(res.fail, x_sel, res.x)
+    # solve-jump backstop (cfg.failsafe.max_solve_jump): if the SELECTED
+    # state still jumped (observable-direction blow-up — garbage factors
+    # rather than a flat direction), keep the whole predicted window.
+    jump = jnp.linalg.norm(x_sel[-1, 0:3] - x_w[-1, 0:3])
     revert = res.fail & (jump > cfg.failsafe.max_solve_jump)
-    res = res._replace(x=jnp.where(revert, x_w, res.x),
+    # The prior is INVALIDATED whenever the window state was modified
+    # behind the solver's back (projection or revert): prior_w binds the
+    # current slot-0 frame, but the window shifts every step, so a kept
+    # prior would anchor next scan's slot 0 to the pre-modification
+    # (runaway-direction) pose with a stale linearization point — during a
+    # multi-scan degenerate stretch it would drag the held trajectory
+    # backward.  Dropping it costs one frame of marginalized history; the
+    # next successful full-window solve rebuilds it.
+    res = res._replace(x=jnp.where(revert, x_w, x_sel),
                        prior=res.prior._replace(
-                           valid=res.prior.valid & ~revert))
+                           valid=res.prior.valid & ~res.fail))
     # marginalization gating happened inside estimate
     prior_next = res.prior
 
@@ -621,6 +683,41 @@ def step_core(state: LIOState, scan: ScanInput, cfg):
     # the reference's double2vector ran unconditionally (Estimator.cpp:1439)
     # and the gates only rewrite transformTobeMapped (:1041-1067)
     x_next = x_opt
+
+    # ---- 7b. post-solve re-deskew of the newest frame's stacks ---------
+    # The prediction-based undistortion (stage 3) has no motion estimate
+    # for the first scans of a sequence (dtb replays the PREVIOUS delta),
+    # so their stacks keep up to |v| * period of skew — and once inserted
+    # they warp the map permanently (measured: the whole corridor-scene
+    # 0.17 m ATE plateau; zero-skew oracle 0.033).  The solve just
+    # recovered the true scan delta, so rebuild the de-skew with it using
+    # each stack point's voxel-mean rel time (ops/undistort.reundistort).
+    # Post-warmup the correction is sub-mm (prediction ~= solution); it is
+    # applied unconditionally to keep the program branch-free.
+    q_bl_c = lie.matrix_to_quat(state.Rbl)
+    q_wl_prev_c = lie.quat_mul(q_prev, q_bl_c)
+    p_wl_prev_c = lie.quat_rotate(q_prev, state.tbl) + p_prev
+    q_wl_new, p_wl_new = _lidar_pose(x_next[-1], state.Rbl, state.tbl)
+    dq_s = lie.quat_mul(lie.quat_conj(q_wl_prev_c), q_wl_new)
+    dt_s = lie.quat_rotate(lie.quat_conj(q_wl_prev_c),
+                           p_wl_new - p_wl_prev_c)
+    dq_s = jnp.where(have_prev, dq_s, pf.dq_l)
+    dt_s = jnp.where(have_prev, dt_s, pf.dt_l)
+
+    def _redeskew(pts_s, rel_s, mask_s):
+        fixed = undistort.reundistort(pts_s[-1], rel_s[-1], pf.dq_l,
+                                      pf.dt_l, dq_s, dt_s)
+        fixed = jnp.where(mask_s[-1][:, None], fixed, pts_s[-1])
+        return pts_s.at[-1].set(fixed)
+
+    stacks_w = est.Stacks(*stacks_w)._replace(
+        corner=_redeskew(stacks_w.corner, stacks_w.corner_rel,
+                         stacks_w.corner_mask),
+        surf=_redeskew(stacks_w.surf, stacks_w.surf_rel,
+                       stacks_w.surf_mask),
+        **(dict(non=_redeskew(stacks_w.non, stacks_w.non_rel,
+                              stacks_w.non_mask))
+           if cfg.use_nonfeature else {}))
 
     # ---- 8. map update (front-frame insertion, :1070-1136) -------------
     # deferred to apply_inserts/apply_inserts_batched (see PendingInsert).
@@ -694,7 +791,12 @@ def step_core(state: LIOState, scan: ScanInput, cfg):
     new_state = jax.lax.cond(
         state.inited | (cfg.imu_mode <= 1),
         lambda s: s,
-        lambda s: _init_bookkeeping(s, scan, q_pub, p_pub, pf.fstack, cfg),
+        # keyframe snapshots take the RE-DESKEWED newest stack (stage 7b),
+        # not pf.fstack — these become window stacks (and map inserts) at
+        # init and must carry the solved-delta correction
+        lambda s: _init_bookkeeping(
+            s, scan, q_pub, p_pub,
+            jax.tree.map(lambda a: a[-1], stacks_w), cfg),
         new_state)
 
     out = StepOutput(pose_q=q_pub, pose_p=p_pub, t=t_w[front_idx],
@@ -721,6 +823,11 @@ def _init_bookkeeping(state: LIOState, scan: ScanInput, q_pub, p_pub, fstack,
 
     # phase 0: open a new keyframe slot (shift); else: update the newest
     # (the reference overwrites back().laserCloud/pose each scan, :952-958)
+    # this scan's point factors (pre-init window slot W-1 is the single
+    # live frame) — snapshotted so _try_init can seed the window's cached
+    # factors (see LIOState.kf_rfs)
+    rf_cur = jax.tree.map(lambda a: a[-1], state.cached_rfs)
+
     def open_slot(s):
         roll1 = lambda a: jnp.roll(a, -1, axis=0)
         return s._replace(
@@ -729,6 +836,8 @@ def _init_bookkeeping(state: LIOState, scan: ScanInput, q_pub, p_pub, fstack,
             kf_stacks=jax.tree.map(
                 lambda a, new: roll1(a).at[-1].set(new),
                 s.kf_stacks, new_kf_stack),
+            kf_rfs=jax.tree.map(lambda a, new: roll1(a).at[-1].set(new),
+                                s.kf_rfs, rf_cur),
             kf_imu=roll1(s.kf_imu).at[-1].set(0.0),
             kf_imu_mask=roll1(s.kf_imu_mask).at[-1].set(False),
             kf_imu_n=roll1(s.kf_imu_n).at[-1].set(0),
@@ -739,7 +848,9 @@ def _init_bookkeeping(state: LIOState, scan: ScanInput, q_pub, p_pub, fstack,
             kf_x=s.kf_x.at[-1].set(jnp.concatenate([q_pub, p_pub])),
             kf_t=s.kf_t.at[-1].set(scan.t),
             kf_stacks=jax.tree.map(lambda a, new: a.at[-1].set(new),
-                                   s.kf_stacks, new_kf_stack))
+                                   s.kf_stacks, new_kf_stack),
+            kf_rfs=jax.tree.map(lambda a, new: a.at[-1].set(new),
+                                s.kf_rfs, rf_cur))
 
     state = jax.lax.cond(phase == 0, open_slot, update_slot, state)
 
@@ -846,12 +957,21 @@ def _try_init(state: LIOState, cfg):
                 preint[k] = preint[k].at[slot].set(v.astype(dtype) if hasattr(v, "astype") else v)
             pv = pv.at[slot].set(True)
 
+        # seed the window's cached point factors with each keyframe's own
+        # pre-init ReducedFactor (see LIOState.kf_rfs): the first
+        # post-init solve then has point factors on EVERY frame.  The
+        # NEWEST keyframe's pose was shifted lidar->body above, so its
+        # snapshot is stale — zeroed; the estimator rebuilds slot W-1
+        # unconditionally anyway.
+        rfs0 = jax.tree.map(jnp.zeros_like, s.cached_rfs)
+        rfs0 = jax.tree.map(
+            lambda a, kf: a.at[W - N_KF:W - 1].set(
+                kf[:N_KF - 1].astype(a.dtype)), rfs0, s.kf_rfs)
         return s._replace(x=x, t=t, frame_valid=fv, stacks=stacks,
                           preint=preint,
                           pair_valid=pv, inited=jnp.asarray(True),
                           gravity=res.gravity.astype(dtype),
                           prior=solver.empty_prior(dtype),
-                          cached_rfs=jax.tree.map(jnp.zeros_like,
-                                                  s.cached_rfs))
+                          cached_rfs=rfs0)
 
     return jax.lax.cond(res.ok, on_ok, lambda s: s, state)
