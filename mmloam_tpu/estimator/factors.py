@@ -111,22 +111,27 @@ def _neighbor_moments(vm, pw, mask, mcfg, knn):
     equivalence test, tests/test_pallas_assoc.py).
     """
     dxd, dyd, dzd, d2d = voxelmap.query_candidates_dense(vm, pw, mask, mcfg)
+    # selection runs in the blocks' storage dtype (bf16 when
+    # cfg.dense_bf16 — both compare operands quantized identically, so
+    # tie-inclusive semantics hold); moment ACCUMULATION upcasts to f32
+    # in-register, so fit math is f32 regardless
     t_k = voxelmap.kth_smallest_dense(d2d, knn)
     # starved rows (t_k = inf) select EVERY lane here, so their moments
     # are garbage-by-design — the `t_k < thres_dist` gate in every
     # consumer (_line_fit/_plane_fit `have5`) rejects exactly those rows
     wf = (d2d <= t_k[:, None]).astype(pw.dtype)
+    dxf, dyf, dzf = (a.astype(pw.dtype) for a in (dxd, dyd, dzd))
     red = lambda a: jnp.sum(a, axis=1)
-    wx, wy, wz = dxd * wf, dyd * wf, dzd * wf
+    wx, wy, wz = dxf * wf, dyf * wf, dzf * wf
     s1 = jnp.stack([red(wx), red(wy), red(wz)], axis=-1)
-    sxx, syy, szz = red(wx * dxd), red(wy * dyd), red(wz * dzd)
-    sxy, sxz, syz = red(wx * dyd), red(wx * dzd), red(wy * dzd)
+    sxx, syy, szz = red(wx * dxf), red(wy * dyf), red(wz * dzf)
+    sxy, sxz, syz = red(wx * dyf), red(wx * dzf), red(wy * dzf)
     s2 = jnp.stack([
         jnp.stack([sxx, sxy, sxz], axis=-1),
         jnp.stack([sxy, syy, syz], axis=-1),
         jnp.stack([sxz, syz, szz], axis=-1)], axis=-2)
     n = red(wf)
-    return t_k, n, s1, s2, (dxd, dyd, dzd, wf)
+    return t_k.astype(pw.dtype), n, s1, s2, (dxf, dyf, dzf, wf)
 
 
 def _line_fit(pw, mask, t_k, n, s1, s2, thres_dist, k):

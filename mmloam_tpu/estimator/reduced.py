@@ -225,12 +225,15 @@ def eval_reduced(x6, rf: ReducedFactor):
 
     # chain rule Z = ∂z/∂[P, phi] (12×6): vecR rows (col-major block j):
     # d(R e_j)/dphi = -R [e_j]× Jr;  P rows: I over the P columns.
+    # Built by CONCATENATION, not .at[].set on zeros — the two static
+    # dynamic-update-slices ran every LM iteration per frame; concat folds
+    # into the surrounding fusion (same fix as factors.imu_residual_and_jac)
     e = jnp.eye(3, dtype=dtype)
     dvecR = jnp.concatenate([-R @ lie.hat(e[j]) @ Jr for j in range(3)],
                             axis=0)                    # (9,3)
-    Z = jnp.zeros((12, 6), dtype)
-    Z = Z.at[0:9, 3:6].set(dvecR)
-    Z = Z.at[9:12, 0:3].set(e)
+    Z = jnp.concatenate(
+        [jnp.concatenate([jnp.zeros((9, 3), dtype), dvecR], axis=1),
+         jnp.concatenate([e, jnp.zeros((3, 3), dtype)], axis=1)], axis=0)
 
     b6 = Z.T @ gy
     H6 = Z.T @ rf.Q @ Z

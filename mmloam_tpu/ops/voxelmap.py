@@ -330,7 +330,13 @@ def query_candidates_dense(vm: VoxelMap, q, mask, cfg):
     dx, dy, dz, d2, ok = query_candidates(vm, q, mask, cfg)
     M = q.shape[0]
     C = d2.shape[1] * d2.shape[2]
-    r = lambda a: a.reshape(M, C)
+    if getattr(cfg, "dense_bf16", False):
+        # bf16 blocks halve the HBM traffic of every downstream pass
+        # (selection re-reads d2d ~6x); +inf survives the cast, so the
+        # validity carrier is intact.  Consumers upcast in-register.
+        r = lambda a: a.reshape(M, C).astype(jnp.bfloat16)
+    else:
+        r = lambda a: a.reshape(M, C)
     return jax.lax.optimization_barrier((r(dx), r(dy), r(dz), r(d2)))
 
 
