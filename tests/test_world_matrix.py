@@ -4,10 +4,10 @@ Three geometry classes matching the reference's dataset families
 (README.md:67-75): the pillar hall (Hall/Office-like), a corridor network
 (Corridor — long degenerate stretches), and a cluttered multi-room office.
 Each replayed end-to-end in BOTH default and reference-faithful mode, with
-per-scene ATE bounds earned from measurement (scripts/scene_matrix.py,
-2026-08-18: hall 0.059/0.047, corridor 0.230/0.227, office 0.049/0.044
-default/faithful) — the faithful bound is now tight (0.35 worst-case
-corridor), not the old blanket 0.5 m.
+per-(scene, mode) ATE bounds earned from measurement (scripts/
+scene_matrix.py, re-measured 2026-08-20 after the re-deskew + keyframe
+factor seeding + bf16 blocks round: hall 0.018/0.028, corridor
+0.100/0.181, office 0.018/0.026 default/faithful) with ~50% headroom.
 """
 
 import numpy as np
@@ -27,15 +27,17 @@ def _ate(outs, gt_R, gt_p, period=0.1):
     return float(np.sqrt((err ** 2).sum(1).mean()))
 
 
+# scene -> (world, trajectory, {mode: ATE bound})
 SCENES = {
     "hall": (lambda: synthetic.default_world(),
-             dict(speed=0.8), 0.12),
+             dict(speed=0.8), dict(default=0.04, faithful=0.06)),
     "corridor": (lambda: synthetic.corridor_world(),
                  dict(speed=2.0, radius_x=16.0, radius_y=0.8,
-                      yaw_rate=0.08, z_amp=0.05), 0.35),
+                      yaw_rate=0.08, z_amp=0.05),
+                 dict(default=0.15, faithful=0.25)),
     "office": (lambda: synthetic.office_world(),
                dict(speed=0.8, radius_x=5.5, radius_y=2.5, z_amp=0.1),
-               0.12),
+               dict(default=0.04, faithful=0.06)),
 }
 
 
@@ -43,7 +45,8 @@ SCENES = {
 @pytest.mark.parametrize("scene", sorted(SCENES))
 @pytest.mark.parametrize("mode", ["default", "faithful"])
 def test_scene_mode_matrix(scene, mode):
-    world_fn, traj_kw, bound = SCENES[scene]
+    world_fn, traj_kw, bounds = SCENES[scene]
+    bound = bounds[mode]
     cfg = tiny_config()
     if mode == "faithful":
         cfg = faithful_config(cfg)
