@@ -107,13 +107,17 @@ def _localizability_rfs(rfs, frame_valid, cfg):
 
 def _assoc_frame(x, stacks: Stacks, slot, vm_corner, vm_surf, vm_lc, vm_ls,
                  vm_non, Rbl, tbl, cfg, thres, weight_tan, huber,
-                 frame_valid):
-    """Build one window frame's ReducedFactor at its current pose."""
+                 frame_valid, cached=None):
+    """Build one window frame's ReducedFactor at its current pose.
+
+    Returns (ReducedFactor, BlocksCache); pass the cache back to
+    re-associate the same frame gather-free (reduced.build_reduced)."""
     fstack = Stacks(*(a[slot] if a is not None else None for a in stacks))
     return reduced.build_reduced(
         x[slot, :6], fstack, vm_corner, vm_surf, Rbl, tbl, cfg,
         thres, weight_tan, huber, frame_valid[slot],
-        vm_local_corner=vm_lc, vm_local_surf=vm_ls, vm_non=vm_non)
+        vm_local_corner=vm_lc, vm_local_surf=vm_ls, vm_non=vm_non,
+        cached=cached)
 
 
 def estimate(x0, stacks: Stacks, cached_rfs, vm_corner, vm_surf, preint,
@@ -149,10 +153,10 @@ def estimate(x0, stacks: Stacks, cached_rfs, vm_corner, vm_surf, preint,
 
     vm_n = vm_non if cfg.use_nonfeature else None
 
-    def assoc(x, slot, thres):
+    def assoc(x, slot, thres, cached=None):
         return _assoc_frame(x, stacks, slot, vm_corner, vm_surf, vm_lc,
                             vm_ls, vm_n, Rbl, tbl, cfg, thres, weight_tan,
-                            huber, frame_valid)
+                            huber, frame_valid, cached=cached)
 
     # ---- round 0 associations: newest frame + stalest old slots ---------
     # Old-slot refresh priority: frames with an EMPTY cached factor (e.g.
@@ -161,7 +165,8 @@ def estimate(x0, stacks: Stacks, cached_rfs, vm_corner, vm_surf, preint,
     # 5-NN sets only drift when the pose does); `refresh_slot` (a rotating
     # index from the pipeline) breaks exact ties so a stationary window
     # still cycles.
-    rfs = _rf_set_slot(cached_rfs, assoc(x0, W - 1, sched[0]), W - 1)
+    rf_new, blkc = assoc(x0, W - 1, sched[0])
+    rfs = _rf_set_slot(cached_rfs, rf_new, W - 1)
     n_old = min(s.refresh_old_frames, W - 1)
     if n_old > 0:
         moved = jnp.linalg.norm(x0[:W - 1, 0:3] - cached_rfs.o[:W - 1],
@@ -173,7 +178,8 @@ def estimate(x0, stacks: Stacks, cached_rfs, vm_corner, vm_surf, preint,
                           moved + 1e6 * (empty & fv_old) + tie, -jnp.inf)
         _, slots = jax.lax.top_k(score, n_old)
         for j in range(n_old):
-            rfs = _rf_set_slot(rfs, assoc(x0, slots[j], sched[0]), slots[j])
+            rf_j, _ = assoc(x0, slots[j], sched[0])
+            rfs = _rf_set_slot(rfs, rf_j, slots[j])
     deg, fail, sv = _localizability_rfs(rfs, frame_valid, cfg)
 
     # short-window mode re-associates the newest frame every round at the
@@ -214,10 +220,14 @@ def estimate(x0, stacks: Stacks, cached_rfs, vm_corner, vm_surf, preint,
                          & (dr_rnd < conv_rot))
 
         # re-associate the NEWEST frame for the next round at its updated
-        # pose (under a batched vmap both cond branches execute; the taken
-        # branch costs one frame association)
+        # pose.  Re-selection runs on the ROUND-0 cached candidate blocks
+        # (closure `blkc`) — zero new stencil gathers (the dominant
+        # association cost; see factors.StackBlocks).  Under a batched
+        # vmap both cond branches execute, so keeping this branch cheap
+        # is what makes extra rounds affordable.
         def reassociate(_):
-            rfs_n = _rf_set_slot(rfs, assoc(x, W - 1, thres_i), W - 1)
+            rf_n, _ = assoc(x, W - 1, thres_i, cached=blkc)
+            rfs_n = _rf_set_slot(rfs, rf_n, W - 1)
             deg_i, fail_i, sv_i = _localizability_rfs(rfs_n, frame_valid,
                                                       cfg)
             return rfs_n, deg | deg_i, fail | fail_i, sv_i

@@ -52,6 +52,22 @@ class PlaneTargets(NamedTuple):
     valid: jnp.ndarray      # (K,) bool
 
 
+class StackBlocks(NamedTuple):
+    """One stack's PERSISTENT-map dense candidate blocks, cached for reuse
+    across the estimator's outer rounds (the map is immutable within one
+    scan and poses move millimeters between rounds, so the round-0 stencil
+    rows stay valid — voxelmap.shift_dense_blocks re-expresses the offsets
+    at the moved pose with zero new gathers).  pw0 is the query world
+    position the offsets are relative to; the dense arrays are exactly
+    `query_candidates_dense` outputs."""
+
+    pw0: jnp.ndarray   # (M,3) f32 query positions at gather time
+    dxd: jnp.ndarray   # (M,C) storage dtype
+    dyd: jnp.ndarray
+    dzd: jnp.ndarray
+    d2d: jnp.ndarray   # +inf at invalid lanes (validity carrier)
+
+
 def pose_wl(x6, Rbl, tbl):
     """World-from-lidar transform for state x6 (world-from-body P, phi)."""
     Rwb = lie.exp_matrix(x6[3:6])
@@ -89,13 +105,14 @@ def _compact_indices(fail, Mr):
     return sel
 
 
-def _neighbor_moments(vm, pw, mask, mcfg, knn):
+def _neighbor_moments(vm, pw, mask, mcfg, knn, cached: StackBlocks = None):
     """k-nearest selection + first/second moments of (centroid - query).
 
-    Returns (t_k, n, s1 (M,3), s2 (M,3,3), blk) with blk = (dxd, dyd,
-    dzd, wf), the DENSE (M, C) candidate offsets and the 0/1 selection
-    mask (kept live for the per-candidate planarity gate — see
-    _plane_fit).  The candidate pipeline runs entirely on dense blocks
+    Returns (t_k, n, s1 (M,3), s2 (M,3,3), blk, blocks) with blk = (dxd,
+    dyd, dzd, wf), the DENSE (M, C) candidate offsets and the 0/1
+    selection mask (kept live for the per-candidate planarity gate — see
+    _plane_fit), and blocks a StackBlocks snapshot for cross-round reuse.
+    The candidate pipeline runs entirely on dense blocks
     (voxelmap.query_candidates_dense): the padded (M, S, cpr) tile forms
     of the per-superrow unpack cost 4x their logical bytes per pass.
     The 9 moments + count are 10 multiply-reduces over the dense blocks
@@ -104,13 +121,26 @@ def _neighbor_moments(vm, pw, mask, mcfg, knn):
     (M,4,C) einsum alternative, whose tiny 4x4-output matmuls strand
     the MXU (measured both, scripts/xla_assoc_split.py harness).
 
+    `cached` short-circuits the row gather entirely: the dense blocks are
+    re-expressed at the moved query positions (shift_dense_blocks) and
+    selection/fits run fresh on them — the gather-free re-association
+    used by the estimator's outer rounds.
+
     Validity rides d2d = inf: when fewer than k valid candidates exist,
     t_k = inf and wf selects every lane (n = C), but the downstream
     `t_k < thres_dist` gate rejects exactly those points (same final
     validity as the old explicit ok-mask, asserted by the archived-kernel
     equivalence test, tests/test_pallas_assoc.py).
     """
-    dxd, dyd, dzd, d2d = voxelmap.query_candidates_dense(vm, pw, mask, mcfg)
+    if cached is None:
+        dxd, dyd, dzd, d2d = voxelmap.query_candidates_dense(vm, pw, mask,
+                                                             mcfg)
+        blocks = StackBlocks(pw, dxd, dyd, dzd, d2d)
+    else:
+        dxd, dyd, dzd, d2d = voxelmap.shift_dense_blocks(
+            (cached.dxd, cached.dyd, cached.dzd, cached.d2d),
+            pw - cached.pw0, mcfg)
+        blocks = cached
     # selection runs in the blocks' storage dtype (bf16 when
     # cfg.dense_bf16 — both compare operands quantized identically, so
     # tie-inclusive semantics hold); moment ACCUMULATION upcasts to f32
@@ -131,7 +161,7 @@ def _neighbor_moments(vm, pw, mask, mcfg, knn):
         jnp.stack([sxy, syy, syz], axis=-1),
         jnp.stack([sxz, syz, szz], axis=-1)], axis=-2)
     n = red(wf)
-    return t_k.astype(pw.dtype), n, s1, s2, (dxf, dyf, dzf, wf)
+    return t_k.astype(pw.dtype), n, s1, s2, (dxf, dyf, dzf, wf), blocks
 
 
 def _line_fit(pw, mask, t_k, n, s1, s2, thres_dist, k):
@@ -157,7 +187,7 @@ def _line_fit(pw, mask, t_k, n, s1, s2, thres_dist, k):
 
 
 def associate_lines(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
-                    vm_local=None) -> LineTargets:
+                    vm_local=None, cached=None, with_blocks=False):
     """Corner association: 5-NN -> PCA line fit -> eigenvalue gate.
 
     Mirrors Estimator.cpp:189-277: 5th-NN sq-distance < thres_dist (the
@@ -176,21 +206,28 @@ def associate_lines(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
     takes its fit from the local map instead.  Both fits are computed
     from already-gathered moment blocks, so the fallback is a per-point
     select, fully fused.
+
+    `cached`/`with_blocks`: persistent-tier StackBlocks reuse across the
+    estimator's outer rounds (see _neighbor_moments); the local rescue
+    tier always gathers fresh (its compacted query set changes per round
+    and is small).  Returns (targets, blocks) when with_blocks.
     """
     pw = _world_points(x6, p_l, Rbl, tbl)
     k = cfg.map.knn
     M = pw.shape[0]
 
-    def one_map_sub(vmi, mcfg, pwq, maskq):
-        t_k, n, s1, s2, _ = _neighbor_moments(vmi, pwq, maskq, mcfg, k)
-        return _line_fit(pwq, maskq, t_k, n, s1, s2, thres_dist, k)
+    def one_map_sub(vmi, mcfg, pwq, maskq, cac=None):
+        t_k, n, s1, s2, _, blo = _neighbor_moments(vmi, pwq, maskq, mcfg, k,
+                                                   cached=cac)
+        return _line_fit(pwq, maskq, t_k, n, s1, s2, thres_dist, k) + (blo,)
 
-    c, u, valid = one_map_sub(vm, cfg.map, pw, mask)
+    c, u, valid, blocks = one_map_sub(vm, cfg.map, pw, mask, cached)
     if vm_local is not None:
         frac = cfg.solver.local_rescue_frac
         Mr = _rescue_cap(M, frac)
         if Mr >= M:
-            c2, u2, valid2 = one_map_sub(vm_local, cfg.local_map, pw, mask)
+            c2, u2, valid2, _ = one_map_sub(vm_local, cfg.local_map, pw,
+                                            mask)
             use2 = (~valid & valid2)[:, None]
             c = jnp.where(use2, c2, c)
             u = jnp.where(use2, u2, u)
@@ -205,13 +242,14 @@ def associate_lines(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
             sel = _compact_indices(mask & ~valid, Mr)
             pw_r = pw.at[sel].get(mode="fill", fill_value=0.0)
             mask_r = sel < M
-            c2, u2, valid2 = one_map_sub(vm_local, cfg.local_map, pw_r,
-                                         mask_r)
+            c2, u2, valid2, _ = one_map_sub(vm_local, cfg.local_map, pw_r,
+                                            mask_r)
             sel_ok = jnp.where(valid2, sel, M)
             c = c.at[sel_ok].set(c2, mode="drop")
             u = u.at[sel_ok].set(u2, mode="drop")
             valid = valid.at[sel_ok].set(True, mode="drop")
-    return LineTargets(p_l=p_l, c=c, u=u, valid=valid)
+    lt = LineTargets(p_l=p_l, c=c, u=u, valid=valid)
+    return (lt, blocks) if with_blocks else lt
 
 
 def _plane_basis(omega):
@@ -288,7 +326,8 @@ def _plane_fit(pw, mask, t_k, n, s1, s2, blk, thres_dist, k, cfg):
 
 
 def associate_planes(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
-                     weight_tan, vm_local=None):
+                     weight_tan, vm_local=None, cached=None,
+                     with_blocks=False):
     """Surf association: 5-NN -> LS plane fit -> flatness gate.
 
     Mirrors Estimator.cpp:617-696: plane fitted to the 5 neighbors,
@@ -309,18 +348,19 @@ def associate_planes(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
     k = cfg.map.knn
     M = pw.shape[0]
 
-    def one_map_sub(vmi, mcfg, pwq, maskq):
-        t_k, n, s1, s2, blk = _neighbor_moments(vmi, pwq, maskq, mcfg, k)
+    def one_map_sub(vmi, mcfg, pwq, maskq, cac=None):
+        t_k, n, s1, s2, blk, blo = _neighbor_moments(vmi, pwq, maskq, mcfg,
+                                                     k, cached=cac)
         return _plane_fit(pwq, maskq, t_k, n, s1, s2, blk, thres_dist, k,
-                          cfg)
+                          cfg) + (blo,)
 
-    proj, omega, valid = one_map_sub(vm, cfg.map, pw, mask)
+    proj, omega, valid, blocks = one_map_sub(vm, cfg.map, pw, mask, cached)
     if vm_local is not None:
         frac = cfg.solver.local_rescue_frac
         Mr = _rescue_cap(M, frac)
         if Mr >= M:
-            proj2, omega2, valid2 = one_map_sub(vm_local, cfg.local_map,
-                                                pw, mask)
+            proj2, omega2, valid2, _ = one_map_sub(vm_local, cfg.local_map,
+                                                   pw, mask)
             use2 = ~valid & valid2
             proj = jnp.where(use2[:, None], proj2, proj)
             omega = jnp.where(use2[:, None], omega2, omega)
@@ -331,8 +371,8 @@ def associate_planes(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
             sel = _compact_indices(mask & ~valid, Mr)
             pw_r = pw.at[sel].get(mode="fill", fill_value=0.0)
             mask_r = sel < M
-            proj2, omega2, valid2 = one_map_sub(vm_local, cfg.local_map,
-                                                pw_r, mask_r)
+            proj2, omega2, valid2, _ = one_map_sub(vm_local, cfg.local_map,
+                                                   pw_r, mask_r)
             sel_ok = jnp.where(valid2, sel, M)
             proj = proj.at[sel_ok].set(proj2, mode="drop")
             omega = omega.at[sel_ok].set(omega2, mode="drop")
@@ -342,8 +382,8 @@ def associate_planes(x6, p_l, mask, vm, Rbl, tbl, cfg, thres_dist,
     w = jnp.array([1.0, weight_tan, weight_tan], pw.dtype)
     sqrt_info = w[None, :, None] * basis
 
-    return (PlaneTargets(p_l=p_l, proj=proj, sqrt_info=sqrt_info, valid=valid),
-            omega, valid)
+    pt = PlaneTargets(p_l=p_l, proj=proj, sqrt_info=sqrt_info, valid=valid)
+    return (pt, omega, valid, blocks) if with_blocks else (pt, omega, valid)
 
 
 def localizability_ntn(NtN, n, cfg):

@@ -91,6 +91,17 @@ def empty_reduced(dtype=jnp.float32) -> ReducedFactor:
         n_line=jnp.int32(0), n_plane=jnp.int32(0), n_normal=jnp.int32(0))
 
 
+class BlocksCache(NamedTuple):
+    """One frame's persistent-tier candidate blocks (corner/surf/non
+    StackBlocks), cached so later outer rounds re-associate gather-free
+    (factors.StackBlocks / voxelmap.shift_dense_blocks).  `non` is None
+    unless cfg.use_nonfeature."""
+
+    corner: factors.StackBlocks
+    surf: factors.StackBlocks
+    non: factors.StackBlocks = None
+
+
 def _vecR(R):
     """Column-major vec: z[3j + i] = R[i, j]."""
     return R.T.reshape(-1)
@@ -125,7 +136,7 @@ def _accumulate(a, q_rel, S, valid, R0, P0_rel):
 def build_reduced(x6, stacks_frame, vm_corner, vm_surf, Rbl, tbl, cfg,
                   thres_dist, weight_tan, huber_delta, frame_ok,
                   vm_local_corner=None, vm_local_surf=None,
-                  vm_non=None) -> ReducedFactor:
+                  vm_non=None, cached: BlocksCache = None):
     """Associate one frame's stacks and compress into a ReducedFactor.
 
     Association semantics follow factors.associate_lines/associate_planes
@@ -139,16 +150,24 @@ def build_reduced(x6, stacks_frame, vm_corner, vm_surf, Rbl, tbl, cfg,
     reference's kd-tree local-map fallback (Estimator.cpp:283-360).
     `vm_non` adds the non-feature stack as zero-tangent plane factors
     (Cost_NonFeature_ICP, ceresfunc.h:573-622) when cfg.use_nonfeature.
+
+    Returns (ReducedFactor, BlocksCache).  Passing the returned cache
+    back via `cached` re-associates the frame from the SAME persistent-
+    map stencil rows with zero gathers (outer-round refresh; the local
+    rescue tier still gathers fresh) — see factors.StackBlocks.
     """
     dtype = x6.dtype
     cpts, cmask = stacks_frame.corner, stacks_frame.corner_mask & frame_ok
     spts, smask = stacks_frame.surf, stacks_frame.surf_mask & frame_ok
 
-    lt = factors.associate_lines(x6, cpts, cmask, vm_corner, Rbl, tbl, cfg,
-                                 thres_dist, vm_local=vm_local_corner)
-    pt, omega, nvalid = factors.associate_planes(
+    lt, blk_c = factors.associate_lines(
+        x6, cpts, cmask, vm_corner, Rbl, tbl, cfg, thres_dist,
+        vm_local=vm_local_corner,
+        cached=None if cached is None else cached.corner, with_blocks=True)
+    pt, omega, nvalid, blk_s = factors.associate_planes(
         x6, spts, smask, vm_surf, Rbl, tbl, cfg, thres_dist, weight_tan,
-        vm_local=vm_local_surf)
+        vm_local=vm_local_surf,
+        cached=None if cached is None else cached.surf, with_blocks=True)
 
     R0w, t0w = factors.pose_wl(x6, Rbl, tbl)
     Rwb0 = lie.exp_matrix(x6[3:6])
@@ -188,24 +207,27 @@ def build_reduced(x6, stacks_frame, vm_corner, vm_surf, Rbl, tbl, cfg,
     Qp, gp, cp = plane_accum(spts, pt, weight_tan)
     n_plane = jnp.sum(pt.valid)
 
+    blk_n = None
     if vm_non is not None and stacks_frame.non is not None:
         npts = stacks_frame.non
         nmask = stacks_frame.non_mask & frame_ok
-        ptn, _, _ = factors.associate_planes(
+        ptn, _, _, blk_n = factors.associate_planes(
             x6, npts, nmask, vm_non, Rbl, tbl, cfg, thres_dist,
-            jnp.zeros((), dtype))
+            jnp.zeros((), dtype),
+            cached=None if cached is None else cached.non, with_blocks=True)
         Qn, gn, cn = plane_accum(npts, ptn, 0.0)
         Qp, gp, cp = Qp + Qn, gp + gn, cp + cn
         n_plane = n_plane + jnp.sum(ptn.valid)
 
     m = nvalid.astype(dtype)
     NtN = jnp.einsum("ki,kj->ij", omega * m[:, None], omega * m[:, None])
-    return ReducedFactor(
+    rf = ReducedFactor(
         Q=Ql + Qp, g0=gl + gp, c0=cl + cp,
         z0=_zvec(Rwb0, P0, o), o=o, NtN=NtN,
         n_line=jnp.sum(lt.valid).astype(jnp.int32),
         n_plane=n_plane.astype(jnp.int32),
         n_normal=jnp.sum(nvalid).astype(jnp.int32))
+    return rf, BlocksCache(corner=blk_c, surf=blk_s, non=blk_n)
 
 
 def eval_reduced(x6, rf: ReducedFactor):

@@ -340,6 +340,42 @@ def query_candidates_dense(vm: VoxelMap, q, mask, cfg):
     return jax.lax.optimization_barrier((r(dx), r(dy), r(dz), r(d2)))
 
 
+def shift_dense_blocks(dense, delta, cfg):
+    """Re-express cached dense candidate blocks at a moved query position.
+
+    `dense` = (dxd, dyd, dzd, d2d) from `query_candidates_dense` taken at
+    query positions q0; `delta` (M, 3) f32 = q_new - q0.  The candidate
+    CENTROIDS are fixed map data, so the new offsets are exactly
+    (centroid - q_new) = (centroid - q0) - delta, and the new squared
+    distances follow — no row gather, no superrow unpack.  Validity is
+    carried over from d2d (= +inf at invalid lanes, `query_candidates`).
+
+    This is what makes re-association across the estimator's outer rounds
+    gather-free: within one scan the map is immutable and poses move
+    millimeters between rounds (the reference FREEZES associations across
+    its iterOpt rounds entirely, Estimator.cpp:160-170 — re-selecting
+    from rows gathered at the round-0 pose is strictly fresher).  The one
+    approximation vs a fresh gather: the stencil window stays centered on
+    the round-0 voxel, so a query whose pose correction crosses a voxel
+    boundary sees its reach displaced by that correction (bounded by the
+    outer-round pose delta; candidates remain genuine map centroids with
+    exact offsets, so fits and gates stay exact).
+
+    Returns (dxd, dyd, dzd, d2d) in the same storage dtype, barriered like
+    `query_candidates_dense`.
+    """
+    dxd, dyd, dzd, d2d = dense
+    f32 = delta.dtype
+    ok = jnp.isfinite(d2d.astype(f32))
+    dx = dxd.astype(f32) - delta[:, 0:1]
+    dy = dyd.astype(f32) - delta[:, 1:2]
+    dz = dzd.astype(f32) - delta[:, 2:3]
+    d2 = jnp.where(ok, dx * dx + dy * dy + dz * dz, jnp.inf)
+    out_dtype = d2d.dtype
+    r = lambda a: a.astype(out_dtype)
+    return jax.lax.optimization_barrier((r(dx), r(dy), r(dz), r(d2)))
+
+
 def kth_smallest_dense(d2d, k: int):
     """k-th smallest entry of a dense (M, C) block (inf-padded invalid).
 

@@ -118,7 +118,7 @@ def main(batch=8):
         vx.VoxelMap(vc), vx.VoxelMap(vs), jnp.eye(3), jnp.zeros(3), cfg,
         jnp.float32(1.0), jnp.float32(3e-4), huber, jnp.asarray(True),
         vm_local_corner=vx.VoxelMap(lc) if cfg.use_local_map else None,
-        vm_local_surf=vx.VoxelMap(ls) if cfg.use_local_map else None)))
+        vm_local_surf=vx.VoxelMap(ls) if cfg.use_local_map else None)[0]))
     t_assoc = timeit("build_reduced (1 frame)", asf, bstate.x,
                      tuple(bstate.stacks), bstate.vm_corner.cells,
                      bstate.vm_surf.cells, bstate.vm_local_corner.cells,

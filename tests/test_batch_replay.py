@@ -51,6 +51,32 @@ def test_sharded_over_mesh():
     assert len(bouts.pose_p.sharding.device_set) == 8
 
 
+@pytest.mark.slow
+def test_multichip_golden_fresh():
+    """The committed multichip phase-1 golden matches the LIVE unsharded
+    replay — so the driver's dryrun (which compares its SHARDED run to the
+    golden, one compile instead of two) can't silently pass on a stale
+    file after source changes.  Regenerate with
+    scripts/make_multichip_golden.py.  Tolerance 3e-3: the golden is
+    produced under jax_disable_most_optimizations (the dryrun's
+    fast-compile mode), which reorders f32 reductions vs this suite's
+    default mode (~1e-3 observed on meter-scale poses); real behavior
+    changes move poses well past this."""
+    import os
+    import __graft_entry__ as ge
+
+    golden = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                  "multichip_phase1.npz"))
+    assert int(golden["n_scans"]) == ge.PHASE1_SCANS
+    assert int(golden["B"]) == ge.PHASE1_B
+    bs, bsc = ge.phase1_inputs(CFG)
+    _, outs = replay.replay_batch(bs, bsc, CFG)
+    err = np.abs(np.asarray(outs.pose_p) - golden["pose_p"]).max()
+    assert err < 3e-3, (
+        f"multichip golden is stale (divergence {err}); regenerate with "
+        "scripts/make_multichip_golden.py")
+
+
 def test_map_and_trajectory_export(tmp_path):
     world = synthetic.default_world()
     traj = synthetic.Trajectory(speed=0.8)

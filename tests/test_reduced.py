@@ -67,6 +67,77 @@ def test_eval_reduced_matches_perpoint_oracle():
         jax.config.update("jax_enable_x64", prev_x64)
 
 
+def _plane_scene_map(dense_bf16=False):
+    """Floor + wall sampled on grids -> surf voxel map + query cloud."""
+    import dataclasses
+
+    from mmloam_tpu.config import tiny_config
+    from mmloam_tpu.ops import voxelmap as vx
+
+    cfg = tiny_config()
+    cfg = cfg.replace(map=dataclasses.replace(cfg.map,
+                                              dense_bf16=dense_bf16),
+                      use_local_map=False)
+    g = np.arange(-5.0, 5.0, 0.12, dtype=np.float32)
+    xx, yy = np.meshgrid(g, g)
+    floor = np.stack([xx.ravel(), yy.ravel(),
+                      np.full(xx.size, -1.0, np.float32)], -1)
+    zz, yy2 = np.meshgrid(np.arange(-1.0, 1.6, 0.12, np.float32), g)
+    wall = np.stack([np.full(zz.size, 4.8, np.float32),
+                     yy2.ravel(), zz.ravel()], -1)
+    pts = np.concatenate([floor, wall]).astype(np.float32)
+    vm = vx.insert(vx.empty_map(cfg.map), jnp.asarray(pts),
+                   jnp.ones(pts.shape[0], bool), cfg.map)
+    rng = np.random.default_rng(11)
+    q = pts[rng.choice(pts.shape[0], 300, replace=False)]
+    q = q + rng.normal(0, 0.01, q.shape).astype(np.float32)
+    return cfg, vm, q
+
+
+def test_associate_planes_cached_blocks():
+    """Gather-free re-association from cached StackBlocks: identical to a
+    fresh gather at the caching pose, and equivalent to a fresh gather
+    after an outer-round-scale pose correction (the reuse contract of
+    estimate.py's round_fn/reassociate)."""
+    from mmloam_tpu.estimator import factors
+
+    cfg, vm, q = _plane_scene_map(dense_bf16=False)
+    P0 = np.array([0.4, -0.2, 0.1], np.float32)
+    x0 = jnp.asarray(np.concatenate([P0, np.zeros(3, np.float32)]))
+    p_l = jnp.asarray(q - P0)
+    mask = jnp.ones(q.shape[0], bool)
+    I3, z3 = jnp.eye(3, dtype=x0.dtype), jnp.zeros(3, x0.dtype)
+
+    pt0, om0, v0, blocks = factors.associate_planes(
+        x0, p_l, mask, vm, I3, z3, cfg, 1.0, 0.0, with_blocks=True)
+    # same pose, cached: bit-identical selection -> same fits
+    pt0c, om0c, v0c = factors.associate_planes(
+        x0, p_l, mask, vm, I3, z3, cfg, 1.0, 0.0, cached=blocks)
+    np.testing.assert_array_equal(np.asarray(v0c), np.asarray(v0))
+    np.testing.assert_allclose(np.asarray(pt0c.proj), np.asarray(pt0.proj),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(om0c), np.asarray(om0),
+                               rtol=0, atol=1e-4)
+
+    # outer-round-scale pose correction (mm): cached re-selection matches
+    # a fresh gather except where the 3 mm stencil displacement crosses a
+    # voxel boundary for a 5-NN member (rare at leaf 0.4)
+    dx = np.array([3e-3, -2e-3, 1e-3, 2e-3, -1e-3, 1e-3], np.float32)
+    x1 = x0 + jnp.asarray(dx)
+    pt1c, _, v1c = factors.associate_planes(
+        x1, p_l, mask, vm, I3, z3, cfg, 1.0, 0.0, cached=blocks)
+    pt1f, _, v1f = factors.associate_planes(
+        x1, p_l, mask, vm, I3, z3, cfg, 1.0, 0.0)
+    v1c, v1f = np.asarray(v1c), np.asarray(v1f)
+    agree = (v1c == v1f).mean()
+    assert agree >= 0.95, agree
+    both = v1c & v1f
+    dproj = np.abs(np.asarray(pt1c.proj) - np.asarray(pt1f.proj))[both]
+    frac_tight = (dproj.max(-1) < 1e-3).mean()
+    assert frac_tight >= 0.95, frac_tight
+    assert both.sum() > 0.5 * q.shape[0]
+
+
 def test_eval_reduced_f32_far_from_origin():
     """The recentered expansion must stay accurate in f32 at world
     coordinates hundreds of meters out (the cancellation the z0-expansion

@@ -90,6 +90,45 @@ def test_negative_coords():
     assert bool(valid[0, 0]) and float(d2[0, 0]) < 1e-8
 
 
+def test_shift_dense_blocks():
+    """Cached dense candidate blocks re-expressed at a moved query equal a
+    fresh gather while the query stays in its round-0 voxel (the exactness
+    contract the estimator's gather-free outer-round re-association rests
+    on — estimate.py reuses the round-0 StackBlocks across rounds)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, dense_bf16=False)
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-5, 5, (600, 3)).astype(np.float32)
+    vm = vx.insert(vx.empty_map(cfg), jnp.asarray(pts),
+                   jnp.ones(pts.shape[0], bool), cfg)
+    # queries at voxel centers: a |delta| < half-leaf move never crosses a
+    # voxel boundary, so the fresh gather sees the identical stencil window
+    M = 40
+    q0 = (np.floor(rng.uniform(-4, 4, (M, 3)) / cfg.voxel_size)
+          * cfg.voxel_size + 0.5 * cfg.voxel_size).astype(np.float32)
+    mask = jnp.ones(M, bool)
+    d0 = vx.query_candidates_dense(vm, jnp.asarray(q0), mask, cfg)
+
+    # delta = 0: the shift is the identity (same f32 expressions)
+    s0 = vx.shift_dense_blocks(d0, jnp.zeros((M, 3), jnp.float32), cfg)
+    ok0 = np.isfinite(np.asarray(d0[3]))
+    np.testing.assert_array_equal(np.isfinite(np.asarray(s0[3])), ok0)
+    for a, b in zip(s0, d0):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a[ok0], b[ok0], rtol=0, atol=1e-6)
+
+    # in-voxel move: matches a fresh dense query at the new position
+    delta = rng.uniform(-0.15, 0.15, (M, 3)).astype(np.float32)
+    s1 = vx.shift_dense_blocks(d0, jnp.asarray(delta), cfg)
+    f1 = vx.query_candidates_dense(vm, jnp.asarray(q0 + delta), mask, cfg)
+    ok1 = np.isfinite(np.asarray(f1[3]))
+    np.testing.assert_array_equal(np.isfinite(np.asarray(s1[3])), ok1)
+    for a, b in zip(s1, f1):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a[ok1], b[ok1], rtol=0, atol=1e-4)
+
+
 def test_incremental_matches_batch():
     rng = np.random.default_rng(2)
     pts = rng.uniform(-5, 5, (200, 3)).astype(np.float32)
