@@ -51,6 +51,27 @@ def test_sharded_over_mesh():
     assert len(bouts.pose_p.sharding.device_set) == 8
 
 
+def test_multichip_golden_exists():
+    """UNMARKED (fast) tripwire: the committed multichip golden must exist
+    and carry the workload metadata the driver's dryrun expects — so a
+    missing or metadata-stale golden fails every default test run in
+    seconds, not only the slow-marked numeric freshness check below
+    (which is exactly the failure that shipped in round 4)."""
+    import os
+    import __graft_entry__ as ge
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "multichip_phase1.npz")
+    assert os.path.exists(path), (
+        "tests/golden/multichip_phase1.npz missing — regenerate with "
+        "scripts/make_multichip_golden.py and commit it")
+    golden = np.load(path)
+    assert int(golden["n_scans"]) == ge.PHASE1_SCANS
+    assert int(golden["B"]) == ge.PHASE1_B
+    assert golden["pose_p"].shape == (ge.PHASE1_SCANS, ge.PHASE1_B, 3)
+    assert np.isfinite(golden["pose_p"]).all()
+
+
 @pytest.mark.slow
 def test_multichip_golden_fresh():
     """The committed multichip phase-1 golden matches the LIVE unsharded
@@ -75,6 +96,45 @@ def test_multichip_golden_fresh():
     assert err < 3e-3, (
         f"multichip golden is stale (divergence {err}); regenerate with "
         "scripts/make_multichip_golden.py")
+
+
+@pytest.mark.slow
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Checkpoint/resume at the scale §2.4 advertises: a MESH-SHARDED
+    batch replay state survives save -> restore -> reshard bitwise, and
+    the restored state steps again under the same mesh (the realistic
+    long-replay resume case — the reference loses everything on a crash,
+    SURVEY.md §5.4).  Uses the same shapes as test_sharded_over_mesh so
+    the replay program compile is shared within a suite run."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    from mmloam_tpu import checkpoint
+
+    mesh = Mesh(np.array(jax.devices()), ("seq",))
+    bs, bsc, _ = make_batch(8, n=5)
+    st, _ = replay.replay_batch(bs, bsc, CFG, mesh=mesh)
+    assert len(st.vm_surf.cells.sharding.device_set) == 8
+
+    path = tmp_path / "sharded.npz"
+    checkpoint.save(path, st)                 # gathers across the mesh
+    template = replay.stack_states([pipeline.init_state(CFG)
+                                    for _ in range(8)])
+    restored = checkpoint.restore(path, template)
+
+    # reshard each leaf exactly as the live state was sharded
+    restored = jax.tree.map(
+        lambda r, live: jax.device_put(r, live.sharding), restored, st)
+    assert len(restored.vm_surf.cells.sharding.device_set) == 8
+    mismatch = jax.tree.map(
+        lambda a, b: float(jnp.abs(a.astype(jnp.float32)
+                                   - b.astype(jnp.float32)).max())
+        if a.size else 0.0, restored, st)
+    assert max(jax.tree.leaves(mismatch)) == 0.0, mismatch
+
+    # the restored sharded state must actually STEP (cached program)
+    _, bsc2, _ = make_batch(8, n=5)
+    st2, outs2 = replay.replay_batch(restored, bsc2, CFG, mesh=mesh)
+    assert bool(jnp.isfinite(outs2.pose_p).all())
+    assert len(st2.vm_surf.cells.sharding.device_set) == 8
 
 
 def test_map_and_trajectory_export(tmp_path):
