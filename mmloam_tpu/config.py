@@ -110,6 +110,18 @@ class MapConfig:
     # neighbor selection, which the kd-tree this replaces broke
     # arbitrarily anyway (ATE re-measured on the scene matrix: unchanged).
     dense_bf16: bool = True
+    # Two-level superrow gather (scripts/gather_dedup_bench.py, r5):
+    # downsampled queries cluster, so the (M, S) stencil gather touches
+    # only ~5% unique superrows (measured, BASELINE.md); gather each
+    # unique row ONCE from the big map table into a compact table of
+    # `dedup_capacity x M` rows, then expand via cheap compact-table
+    # gathers (~3.5 ns/row vs ~9.3 ns/row from the 64 MB table).  Exact:
+    # a query position whose unique rank overflows the compact capacity
+    # just drops those candidates (same bounded-structure failure mode as
+    # every stack cap); with capacity 2*M the observed need (~0.43*M) has
+    # ~4.7x margin.
+    dedup_gather: bool = False
+    dedup_capacity: int = 2          # compact-table rows as multiple of M
 
     @property
     def dims(self) -> tuple[int, int, int]:

@@ -236,6 +236,40 @@ def _super_window(cfg):
     return nbx, nby, nbz
 
 
+def _dedup_gather_rows(cells, slot, capacity):
+    """Two-level superrow gather: fetch each UNIQUE row once.
+
+    `cells` (n_super, R), `slot` (M, S) int32 row ids.  Row-gather issue
+    cost on this TPU scales with TABLE size (~9.3 ns/row from the 64 MB
+    map vs ~3.5 ns/row from a ~1 MB table — measured,
+    scripts/gather_dedup_bench.py), and clustered queries touch only ~5%
+    unique rows (BASELINE.md r5).  So: sort the M*S ids, rank the runs,
+    gather the <= `capacity` unique rows from the big table into a
+    compact one, and serve the (M, S) expansion from it.  Scatter-free:
+    the inverse permutation is a second argsort and the unique-id table
+    comes from searchsorted on the (sorted) ranks.
+
+    Returns (rows (M, S, R), valid (M, S)); positions whose unique rank
+    overflowed `capacity` get valid=False (candidates dropped — the same
+    bounded-capacity behavior as the feature stacks), never wrong data:
+    for rank < capacity, uid[rank] == id by construction.
+    """
+    M, S = slot.shape
+    n_super = cells.shape[0]
+    flat = slot.reshape(-1)
+    order = jnp.argsort(flat)
+    s_ids = flat[order]
+    newrun = jnp.concatenate(
+        [jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]])
+    rank = jnp.cumsum(newrun) - 1                     # sorted, 0-based
+    first = jnp.searchsorted(rank, jnp.arange(capacity), side="left")
+    uid = s_ids[jnp.minimum(first, M * S - 1)]        # (capacity,)
+    inv = rank[jnp.argsort(order)].reshape(M, S)      # rank per position
+    compact = cells[jnp.clip(uid, 0, n_super - 1)]    # (capacity, R)
+    rows = compact[jnp.minimum(inv, capacity - 1)]
+    return rows, inv < capacity
+
+
 def query_candidates(vm: VoxelMap, q, mask, cfg):
     """Stencil candidate block for each query point — no selection.
 
@@ -264,7 +298,12 @@ def query_candidates(vm: VoxelMap, q, mask, cfg):
                     sz0[:, None] + oz.ravel()[None, :]], axis=-1)  # (M,S,3)
     slot, key = _super_decompose(sv, cfg)                   # (M,S)
 
-    rows = vm.cells[slot]                                   # (M,S,4cpr) gather
+    if getattr(cfg, "dedup_gather", False):
+        rows, dedup_ok = _dedup_gather_rows(
+            vm.cells, slot, int(cfg.dedup_capacity) * M)
+    else:
+        rows = vm.cells[slot]                               # (M,S,4cpr) gather
+        dedup_ok = None
     # field unpack = lane slices (no minor-dim reshape/transpose)
     sum_x = rows[..., 0:cpr]
     sum_y = rows[..., cpr:2 * cpr]
@@ -273,6 +312,8 @@ def query_candidates(vm: VoxelMap, q, mask, cfg):
     key_st = jnp.floor(meta / _META_MOD)
     cnt = meta - key_st * _META_MOD
     ok = (key_st == key[..., None]) & (cnt > 0) & mask[:, None, None]
+    if dedup_ok is not None:
+        ok = ok & dedup_ok[..., None]
 
     # restrict candidates to the EXACT fine stencil: the superrow window
     # overshoots by up to pack-1 cells per axis, and that extra reach

@@ -567,6 +567,51 @@ def apply_inserts_batched(state: LIOState, pend: PendingInsert, cfg):
     return state._replace(**upd)
 
 
+def project_degenerate_update(x_opt, x_w, NtN, fail, degenerate_sv):
+    """Direction-selective degenerate update (stage 7a).
+
+    When the localizability check FAILS (sv_min < degenerate_sv — the
+    solver can slide freely along the plane normals' null direction, e.g.
+    the along-axis translation in a corridor), project each frame's
+    translation/velocity DELTA (optimized `x_opt` minus the pre-solve
+    window `x_w`: prediction for the newest frame, previous optimized
+    states for the others) onto the OBSERVABLE subspace of the
+    plane-normal Gram matrix NtN = Σ ω ωᵀ — directions whose singular
+    value clears the gate keep the optimized update, unobservable
+    directions hold the pre-solve value.  This is the principled version
+    of the reference's keep-optimized-x/y-hold-predicted-z fallback
+    (Estimator.cpp:1050-1066), replacing the r3 all-or-nothing revert
+    that discarded the observable components too.  Rotation and biases
+    keep the optimized values (plane normals observe rotation even in a
+    corridor).  Too-few-normals failures have NtN ~ 0, so the projection
+    degenerates to the old full revert.  When `fail` is False, `x_opt`
+    passes through untouched.  (Scene-matrix note: the corridor SCENE's
+    ATE was dominated by warmup skew + init seeding — fixed by stage 7b
+    and kf_rfs, 0.23 -> 0.10 m — not by this path; this path guards
+    genuinely degenerate stretches, where localizability actually fails:
+    test_degenerate/test_stress.)
+
+    Args: x_opt/x_w (W, 15) window states, NtN (3, 3) symmetric PSD,
+    fail scalar bool, degenerate_sv the reference's localizability gate
+    (checkLocalizability, Estimator.cpp:536-565).  Returns (W, 15).
+    """
+    x_opt, x_w, NtN = map(jnp.asarray, (x_opt, x_w, NtN))
+    dtype = x_opt.dtype
+    evN = linalg3.eigvalsh3(NtN)                   # ascending (3,)
+    v_lo = linalg3.smallest_eigvec3(NtN, evN)
+    v_hi = linalg3.principal_eigvec3(NtN, evN)
+    v_mid = jnp.cross(v_hi, v_lo)                  # symmetric => orthogonal
+    VN = jnp.stack([v_lo, v_mid, v_hi], axis=1)    # columns, ascending
+    sv_dir = jnp.sqrt(jnp.maximum(evN, 0.0))
+    obs = (sv_dir >= degenerate_sv).astype(dtype)
+    P_obs = (VN * obs[None, :]) @ VN.T             # observable projector
+    dP = (x_opt[:, 0:3] - x_w[:, 0:3]) @ P_obs.T
+    dV = (x_opt[:, 6:9] - x_w[:, 6:9]) @ P_obs.T
+    x_sel = x_opt.at[:, 0:3].set(x_w[:, 0:3] + dP)
+    x_sel = x_sel.at[:, 6:9].set(x_w[:, 6:9] + dV)
+    return jnp.where(fail, x_sel, x_opt)
+
+
 def step(state: LIOState, scan: ScanInput, cfg):
     """One scan through the full LIO stack.  Pure; jit/vmap/scan-able."""
     state, out, pend = step_core(state, scan, cfg)
@@ -614,38 +659,8 @@ def step_core(state: LIOState, scan: ScanInput, cfg):
             NtN=jnp.zeros((3, 3), dtype))
 
     res = jax.lax.cond(can_estimate, est_branch, skip_branch, None)
-    # Direction-selective degenerate update: when the localizability check
-    # FAILS (sv_min < degenerate_sv — the solver can slide freely along
-    # the normals' null direction, e.g. the along-axis translation in a
-    # corridor), project each frame's translation/velocity DELTA (vs the
-    # pre-solve window x_w: prediction for the newest frame, previous
-    # optimized states for the others) onto the OBSERVABLE subspace of the
-    # plane-normal Gram matrix Σ ω ωᵀ — directions whose singular value
-    # clears the gate keep the optimized update, unobservable directions
-    # hold the pre-solve value.  This is the principled version of the
-    # reference's keep-optimized-x/y-hold-predicted-z fallback
-    # (Estimator.cpp:1050-1066), replacing the r3 all-or-nothing revert
-    # that discarded the observable components too.  Rotation and biases
-    # keep the optimized values (plane normals observe rotation even in a
-    # corridor).  Too-few-normals failures have NtN ~ 0, so the
-    # projection degenerates to the old full revert.  (Scene-matrix note:
-    # the corridor SCENE's ATE was dominated by warmup skew + init
-    # seeding — fixed by stage 7b and kf_rfs, 0.23 -> 0.10 m — not by
-    # this path; this path guards genuinely degenerate stretches, where
-    # localizability actually fails: test_degenerate/test_stress.)
-    evN = linalg3.eigvalsh3(res.NtN)               # ascending (3,)
-    v_lo = linalg3.smallest_eigvec3(res.NtN, evN)
-    v_hi = linalg3.principal_eigvec3(res.NtN, evN)
-    v_mid = jnp.cross(v_hi, v_lo)                  # symmetric => orthogonal
-    VN = jnp.stack([v_lo, v_mid, v_hi], axis=1)    # columns, ascending
-    sv_dir = jnp.sqrt(jnp.maximum(evN, 0.0))
-    obs = (sv_dir >= cfg.solver.degenerate_sv).astype(dtype)
-    P_obs = (VN * obs[None, :]) @ VN.T             # observable projector
-    dP = (res.x[:, 0:3] - x_w[:, 0:3]) @ P_obs.T
-    dV = (res.x[:, 6:9] - x_w[:, 6:9]) @ P_obs.T
-    x_sel = res.x.at[:, 0:3].set(x_w[:, 0:3] + dP)
-    x_sel = x_sel.at[:, 6:9].set(x_w[:, 6:9] + dV)
-    x_sel = jnp.where(res.fail, x_sel, res.x)
+    x_sel = project_degenerate_update(res.x, x_w, res.NtN, res.fail,
+                                      cfg.solver.degenerate_sv)
     # solve-jump backstop (cfg.failsafe.max_solve_jump): if the SELECTED
     # state still jumped (observable-direction blow-up — garbage factors
     # rather than a flat direction), keep the whole predicted window.

@@ -50,6 +50,77 @@ class Straight(synthetic.Trajectory):
         return np.zeros(np.shape(np.asarray(t)))
 
 
+def _window(seed, W=5):
+    rng = np.random.default_rng(seed)
+    x_w = rng.normal(size=(W, 15)).astype(np.float32)
+    x_opt = x_w + 0.1 * rng.normal(size=(W, 15)).astype(np.float32)
+    return x_w, x_opt
+
+
+def test_projection_holds_unobservable_axis():
+    """Stage 7a semantics (project_degenerate_update): with the corridor
+    axis x unobservable (NtN ~ 0 along x, strong along y/z), the projected
+    update keeps the OPTIMIZED y/z translation+velocity components and
+    HOLDS the pre-solve values along x; rotation and biases always keep
+    the optimized values.  Reference fallback: Estimator.cpp:1050-1066."""
+    gate = CFG.solver.degenerate_sv            # 2.0; obs iff sqrt(ev) >= gate
+    x_w, x_opt = _window(0)
+    # plane-normal Gram matrix: many floor/wall normals in y and z, none x
+    NtN = np.diag([1e-4, 25.0, 49.0]).astype(np.float32)
+    out = np.asarray(pipeline.project_degenerate_update(
+        x_opt, x_w, NtN, True, gate))
+    for sl in (slice(0, 3), slice(6, 9)):      # P block, V block
+        np.testing.assert_allclose(out[:, sl][:, 0], x_w[:, sl][:, 0],
+                                   atol=1e-5)              # held along x
+        np.testing.assert_allclose(out[:, sl][:, 1:], x_opt[:, sl][:, 1:],
+                                   atol=1e-5)              # optimized y/z
+    np.testing.assert_allclose(out[:, 3:6], x_opt[:, 3:6], atol=1e-6)
+    np.testing.assert_allclose(out[:, 9:15], x_opt[:, 9:15], atol=1e-6)
+
+
+def test_projection_rotated_null_direction():
+    """The projection is basis-free: for a corridor at 45 deg in the xy
+    plane (unobservable direction u), the along-u component of the P/V
+    delta is suppressed while both orthogonal components survive."""
+    gate = CFG.solver.degenerate_sv
+    x_w, x_opt = _window(1)
+    u = np.array([1.0, 1.0, 0.0], np.float32) / np.sqrt(2.0)
+    a = np.array([1.0, -1.0, 0.0], np.float32) / np.sqrt(2.0)
+    b = np.array([0.0, 0.0, 1.0], np.float32)
+    NtN = (25.0 * np.outer(a, a) + 49.0 * np.outer(b, b)
+           + 1e-4 * np.outer(u, u)).astype(np.float32)
+    out = np.asarray(pipeline.project_degenerate_update(
+        x_opt, x_w, NtN, True, gate))
+    for sl in (slice(0, 3), slice(6, 9)):
+        d_in, d_out = x_opt[:, sl] - x_w[:, sl], out[:, sl] - x_w[:, sl]
+        np.testing.assert_allclose(d_out @ u, 0.0, atol=1e-5)   # held
+        np.testing.assert_allclose(d_out @ a, d_in @ a, atol=1e-5)
+        np.testing.assert_allclose(d_out @ b, d_in @ b, atol=1e-5)
+
+
+def test_projection_zero_ntn_full_revert():
+    """Too-few-normals failures carry NtN ~ 0: no direction clears the
+    gate, so the projection degenerates to the r3 full revert (P and V
+    back to the pre-solve window; rotation/biases stay optimized)."""
+    x_w, x_opt = _window(2)
+    out = np.asarray(pipeline.project_degenerate_update(
+        x_opt, x_w, np.zeros((3, 3), np.float32), True,
+        CFG.solver.degenerate_sv))
+    np.testing.assert_allclose(out[:, 0:3], x_w[:, 0:3], atol=1e-6)
+    np.testing.assert_allclose(out[:, 6:9], x_w[:, 6:9], atol=1e-6)
+    np.testing.assert_allclose(out[:, 3:6], x_opt[:, 3:6], atol=1e-6)
+
+
+def test_projection_noop_when_not_failed():
+    """fail=False passes the optimized window through untouched even for
+    a rank-deficient NtN (the gate, not the geometry, owns the switch)."""
+    x_w, x_opt = _window(3)
+    out = np.asarray(pipeline.project_degenerate_update(
+        x_opt, x_w, np.diag([1e-4, 25.0, 49.0]).astype(np.float32),
+        False, CFG.solver.degenerate_sv))
+    np.testing.assert_allclose(out, x_opt, atol=0)
+
+
 @pytest.mark.slow
 def test_corridor_flags_degenerate():
     world = corridor_world()

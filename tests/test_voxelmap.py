@@ -137,3 +137,52 @@ def test_incremental_matches_batch():
     np.testing.assert_allclose(np.array(vm_a.count), np.array(vm_b.count))
     np.testing.assert_allclose(np.array(vm_a.sum_rel), np.array(vm_b.sum_rel),
                                atol=1e-5)
+
+
+def test_dedup_gather_equivalence():
+    """dedup_gather=True (two-level unique-row gather) returns IDENTICAL
+    candidate blocks to the baseline big-table gather when the compact
+    capacity holds all unique superrows (clustered queries, the
+    production pattern — ~5% unique at flagship shapes, BASELINE.md r5)."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-3, 3, (800, 3)).astype(np.float32)
+    vm = ins(vx.empty_map(CFG), pts)
+    q = jnp.asarray(rng.uniform(-2, 2, (128, 3)).astype(np.float32))
+    mask = jnp.ones(128, bool)
+    cfg_on = dataclasses.replace(CFG, dedup_gather=True, dedup_capacity=4)
+    base = vx.query_candidates_dense(vm, q, mask, CFG)
+    dd = vx.query_candidates_dense(vm, q, mask, cfg_on)
+    for a, b in zip(base, dd):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
+
+
+def test_dedup_gather_overflow_drops_never_corrupts():
+    """With a deliberately tiny compact capacity and SPREAD queries
+    (unique rows >> capacity), overflow positions drop their candidates
+    (d2 = inf) but every candidate the dedup path does return is
+    bit-identical to the baseline — wrong data is impossible by
+    construction (uid[rank] == id for rank < capacity)."""
+    import dataclasses
+
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(-17, 17, (2000, 3)).astype(np.float32)
+    vm = ins(vx.empty_map(CFG), pts)
+    q = jnp.asarray(rng.uniform(-16, 16, (128, 3)).astype(np.float32))
+    mask = jnp.ones(128, bool)
+    cfg_on = dataclasses.replace(CFG, dedup_gather=True, dedup_capacity=1)
+    b_dx, b_dy, b_dz, b_d2 = [np.asarray(a, np.float32) for a in
+                              vx.query_candidates_dense(vm, q, mask, CFG)]
+    d_dx, d_dy, d_dz, d_d2 = [np.asarray(a, np.float32) for a in
+                              vx.query_candidates_dense(vm, q, mask, cfg_on)]
+    fin = np.isfinite(d_d2)
+    assert fin.sum() > 0
+    assert (~np.isfinite(b_d2[fin])).sum() == 0
+    np.testing.assert_array_equal(d_d2[fin], b_d2[fin])
+    np.testing.assert_array_equal(d_dx[fin], b_dx[fin])
+    np.testing.assert_array_equal(d_dy[fin], b_dy[fin])
+    np.testing.assert_array_equal(d_dz[fin], b_dz[fin])
+    # and overflow actually happened (otherwise this test tests nothing)
+    assert fin.sum() < np.isfinite(b_d2).sum()
