@@ -45,6 +45,22 @@ def main():
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests", "golden",
         "multichip_phase1.npz")
+    if "--check" in sys.argv:
+        # freshness mode (tests/test_batch_replay.py): recompute under the
+        # EXACT generation config and compare to the committed npz.  Same
+        # mode + same inputs + XLA:CPU determinism => matches to f32
+        # exactness; any real source-behavior change shows up full-size
+        # (the default-mode vs disable-most-optimizations delta is ~3e-2
+        # at these shapes, so cross-mode comparison can't distinguish
+        # drift from noise — measured r5).
+        golden = np.load(out)
+        err = np.abs(pose_p - golden["pose_p"]).max()
+        print(f"check: divergence {err:.2e}  wall "
+              f"{time.monotonic() - t0:.1f}s")
+        assert err < 1e-5, (
+            f"multichip golden is stale (divergence {err}); regenerate "
+            "with scripts/make_multichip_golden.py")
+        return
     np.savez(out, pose_p=pose_p, n_scans=ge.PHASE1_SCANS, B=ge.PHASE1_B)
     print(f"wrote {out}  shape {pose_p.shape}  "
           f"final x {pose_p[-1, :, 0].round(3).tolist()}  "

@@ -75,27 +75,30 @@ def test_multichip_golden_exists():
 @pytest.mark.slow
 def test_multichip_golden_fresh():
     """The committed multichip phase-1 golden matches the LIVE unsharded
-    replay — so the driver's dryrun (which compares its SHARDED run to the
-    golden, one compile instead of two) can't silently pass on a stale
-    file after source changes.  Regenerate with
-    scripts/make_multichip_golden.py.  Tolerance 3e-3: the golden is
-    produced under jax_disable_most_optimizations (the dryrun's
-    fast-compile mode), which reorders f32 reductions vs this suite's
-    default mode (~1e-3 observed on meter-scale poses); real behavior
-    changes move poses well past this."""
+    replay — so the driver's dryrun (which compares its SHARDED run to
+    the golden, one compile instead of two) can't silently pass on a
+    stale file after source changes.  Runs scripts/make_multichip_golden
+    --check in a SUBPROCESS so the comparison happens under the exact
+    generation mode (jax_disable_most_optimizations): same-mode XLA:CPU
+    replay is deterministic, so the tolerance is 1e-5 and any real
+    source-behavior change shows up full-size.  (An in-process
+    cross-mode comparison has a ~3e-2 noise floor — measured r5 — which
+    would drown real drift.)"""
     import os
-    import __graft_entry__ as ge
+    import subprocess
+    import sys
 
-    golden = np.load(os.path.join(os.path.dirname(__file__), "golden",
-                                  "multichip_phase1.npz"))
-    assert int(golden["n_scans"]) == ge.PHASE1_SCANS
-    assert int(golden["B"]) == ge.PHASE1_B
-    bs, bsc = ge.phase1_inputs(CFG)
-    _, outs = replay.replay_batch(bs, bsc, CFG)
-    err = np.abs(np.asarray(outs.pose_p) - golden["pose_p"]).max()
-    assert err < 3e-3, (
-        f"multichip golden is stale (divergence {err}); regenerate with "
-        "scripts/make_multichip_golden.py")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts",
+                                      "make_multichip_golden.py"),
+         "--check"], cwd=root, env=env, capture_output=True, text=True,
+        timeout=1500)
+    assert r.returncode == 0, (
+        f"golden freshness check failed:\n{r.stdout[-2000:]}\n"
+        f"{r.stderr[-2000:]}")
 
 
 @pytest.mark.slow
