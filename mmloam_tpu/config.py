@@ -112,14 +112,17 @@ class MapConfig:
     dense_bf16: bool = True
     # Two-level superrow gather (scripts/gather_dedup_bench.py, r5):
     # downsampled queries cluster, so the (M, S) stencil gather touches
-    # only ~5% unique superrows (measured, BASELINE.md); gather each
-    # unique row ONCE from the big map table into a compact table of
+    # few unique superrows — worst measured unique/M across the scene
+    # matrix x {surf, corner} x {persistent, local} query streams is
+    # 0.94 (street world, fine local map; hall flagship surf is 0.43 =
+    # 5.4% of the M*S rows — BASELINE.md r5).  Gather each unique row
+    # ONCE from the big map table into a compact table of
     # `dedup_capacity x M` rows, then expand via cheap compact-table
     # gathers (~3.5 ns/row vs ~9.3 ns/row from the 64 MB table).  Exact:
     # a query position whose unique rank overflows the compact capacity
-    # just drops those candidates (same bounded-structure failure mode as
-    # every stack cap); with capacity 2*M the observed need (~0.43*M) has
-    # ~4.7x margin.
+    # just drops those candidates (same bounded-structure failure mode
+    # as every stack cap; capacity 2*M keeps >=2.1x margin at the worst
+    # measured stream), never wrong data.
     dedup_gather: bool = False
     dedup_capacity: int = 2          # compact-table rows as multiple of M
 
