@@ -122,6 +122,10 @@ def main(batch=16, n_scans=30, seed0=None):
     for rep in range(3):
         timed = batch_scans._replace(
             pts=batch_scans.pts + np.float32(1e-5 * (rep + 1)))
+        # drop the previous run's output state BEFORE building the next
+        # zero state: at batch 32 the flagship map state is ~5.2 GB, and
+        # two live copies exceed the 16 GB chip (measured r5)
+        st = outs = None
         bs = fresh_state()
         t0 = time.perf_counter()
         st, outs = replay.replay_batch(bs, timed, cfg)
