@@ -61,12 +61,16 @@ def aggregate_updates(pts, mask, cfg):
         slot, sub, key = voxelmap._cell_addr(v, cfg)
         big = jnp.int32(2 ** 30)
         slot_m = jnp.where(m, slot, big)
-        order = jnp.argsort(slot_m)
-        slot_s = slot_m[order]
-        sub_s = sub[order]
-        key_s = key[order]
-        m_s = m[order]
-        rel = (p - v.astype(dtype) * cfg.voxel_size)[order]
+        # ONE multi-operand sort carries every payload column through the
+        # bitonic network; the previous argsort + five x[order] gathers
+        # paid ~10 ns PER ELEMENT on the minor-dim index (measured
+        # ~0.8 ms/exec each at flagship shapes, scripts/fusion_bw.py r5)
+        rel0 = p - v.astype(dtype) * cfg.voxel_size
+        slot_s, sub_s, key_s, m_i, rel_x, rel_y, rel_z = jax.lax.sort(
+            (slot_m, sub, key, m.astype(jnp.int32),
+             rel0[:, 0], rel0[:, 1], rel0[:, 2]), num_keys=1)
+        m_s = m_i.astype(bool)
+        rel = jnp.stack([rel_x, rel_y, rel_z], axis=-1)
         mf = m_s.astype(dtype)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (N, 128), 1)
@@ -220,11 +224,16 @@ def insert_batched(cells, pts, mask, cfg, interpret=False):
     # touched rows are typically ~4x fewer than the padded stack size,
     # and the kernel cost is per visited ENTRY SLOT (scalar fori), not
     # per valid row
-    iota = jnp.arange(N, dtype=jnp.int32)[None, :]
-    perm = jnp.argsort(jnp.where(row_valid, iota, N + iota), axis=1)
-    row_slot = jnp.take_along_axis(row_slot, perm, axis=1)
-    row_key = jnp.take_along_axis(row_key, perm, axis=1)
-    row_valid = jnp.take_along_axis(row_valid, perm, axis=1)
+    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
+    ckey = jnp.where(row_valid, iota, N + iota)
+    # multi-operand sort compacts the (B, N) payload columns without
+    # per-element minor-dim gathers (each take_along_axis cost
+    # ~0.8 ms/exec at flagship shapes, scripts/fusion_bw.py r5); row_upd
+    # keeps a 512 B-row take_along_axis, which gathers whole rows
+    _, row_slot, row_key, rv_i, perm = jax.lax.sort(
+        (ckey, row_slot, row_key, row_valid.astype(jnp.int32), iota),
+        num_keys=1)
+    row_valid = rv_i.astype(bool)
     row_upd = jnp.take_along_axis(row_upd, perm[..., None], axis=1)
     nv = jnp.sum(row_valid, axis=1, dtype=jnp.int32)[:, None]   # (B, 1)
     # pad the row count to a multiple of G; padding rows -> slot 0, zero upd
