@@ -218,10 +218,16 @@ def extract_line_features(pts, intensity, n_valid, cfg):
         + [gap_ok_l[:, j].astype(dtype) for j in range(3)], axis=-1)
 
     def one_segment(s_start, s_end):
-        pos = s_start + jnp.arange(S)
-        in_seg = pos < s_end
-        g = jnp.clip(pos, 0, N - 1)
-        rows = packed[g]                                       # (S, 12)
+        # contiguous-window fetch: dynamic_slice clamps the start so the
+        # window stays in bounds (segments near the line end shift down;
+        # rows below s_start are masked off by in_seg).  One ~1 KB slice
+        # per segment replaces S per-element 48 B row gathers — the
+        # element gathers cost ~10 ns each and were the largest
+        # feature-extraction block (scripts/fusion_bw.py r5).
+        start = jnp.clip(s_start, 0, N - S)
+        rows = jax.lax.dynamic_slice(packed, (start, 0), (S, packed.shape[1]))
+        g = start + jnp.arange(S)
+        in_seg = (g >= s_start) & (g < s_end)
         c = jnp.where(in_seg, rows[:, 0], BIG)
         order = jnp.argsort(c, stable=True)
         flags = _segment_pass(
