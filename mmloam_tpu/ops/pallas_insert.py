@@ -80,16 +80,17 @@ def aggregate_updates(pts, mask, cfg):
                + jnp.where(lane == sub_b + 64, rel[:, 2:3] * mf[:, None], 0.0)
                + jnp.where(lane == sub_b + 96, mf[:, None], 0.0))
 
-        iota = jnp.arange(N)
         start = jnp.concatenate([jnp.ones((1,), bool),
                                  slot_s[1:] != slot_s[:-1]])
         is_end = jnp.concatenate([slot_s[1:] != slot_s[:-1],
                                   jnp.ones((1,), bool)])
-        cum = jnp.cumsum(pay, axis=0)
-        # segment start position for each index (running max of start idx)
-        s_pos = jax.lax.cummax(jnp.where(start, iota, -1))
-        seg_sum_at_end = cum - jnp.where(
-            (s_pos > 0)[:, None], cum[jnp.maximum(s_pos - 1, 0)], 0.0)
+        # segmented inclusive scan (same monoid as downsample): at each
+        # segment's END row this is exactly the segment sum.  Replaces a
+        # global cumsum + a per-row gather of cum[segment_start - 1]
+        # (~2.4 ms/exec unattributed fusion, scripts/fusion_bw.py r5);
+        # also keeps f32 error at segment magnitude, not prefix magnitude
+        from .downsample import _seg_scan_sum
+        seg_sum_at_end = _seg_scan_sum(pay, start)
         # NOTE: insert_batched compacts valid entries to the front (its
         # argsort keys invalids last) and sizes the kernel's group loop by
         # ceil(n_valid / G) — that dynamic bound is only correct because
