@@ -88,11 +88,14 @@ def main(batch=16, n_scans=30, seed0=None):
     # A/B hook for the two-level gather (BASELINE.md r5) WITHOUT source
     # edits: any package-source change invalidates the persistent compile
     # cache, and a flagship compile costs ~1h on the remote server.
-    if os.environ.get("MMLOAM_DEDUP") == "1":
+    dedup = os.environ.get("MMLOAM_DEDUP")
+    if dedup in ("1", "2"):
         import dataclasses
         cfg = cfg.replace(
-            map=dataclasses.replace(cfg.map, dedup_gather=True),
-            local_map=dataclasses.replace(cfg.local_map, dedup_gather=True))
+            map=dataclasses.replace(cfg.map, dedup_gather=True))
+        if dedup == "1":        # "2" = persistent-map streams only
+            cfg = cfg.replace(local_map=dataclasses.replace(
+                cfg.local_map, dedup_gather=True))
 
     # fresh range-noise seeds per invocation so no execution-cache layer
     # (local or remote) can return memoized results

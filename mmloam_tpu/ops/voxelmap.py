@@ -245,9 +245,16 @@ def _dedup_gather_rows(cells, slot, capacity):
     scripts/gather_dedup_bench.py), and clustered queries touch only ~5%
     unique rows (BASELINE.md r5).  So: sort the M*S ids, rank the runs,
     gather the <= `capacity` unique rows from the big table into a
-    compact one, and serve the (M, S) expansion from it.  Scatter-free:
-    the inverse permutation is a second argsort and the unique-id table
-    comes from searchsorted on the (sorted) ranks.
+    compact one, and serve the (M, S) expansion from it.
+
+    GATHER-FREE index plumbing (this is what makes it pay — the first
+    version lost 2x end-to-end to per-element argsort/x[order] gathers
+    at ~10 ns/element): every reorder is a multi-operand `lax.sort`
+    whose payload columns ride the bitonic network — (1) ids with
+    original positions, (2) run-start ids keyed by their rank to build
+    the unique table, (3) ranks keyed by position to invert the
+    permutation.  The only gathers left are the two ROW gathers the
+    scheme exists for.
 
     Returns (rows (M, S, R), valid (M, S)); positions whose unique rank
     overflowed `capacity` get valid=False (candidates dropped — the same
@@ -256,15 +263,22 @@ def _dedup_gather_rows(cells, slot, capacity):
     """
     M, S = slot.shape
     n_super = cells.shape[0]
+    cap32 = jnp.int32(capacity)
     flat = slot.reshape(-1)
-    order = jnp.argsort(flat)
-    s_ids = flat[order]
+    iota = jnp.arange(M * S, dtype=jnp.int32)
+    s_ids, pos = jax.lax.sort((flat, iota), num_keys=1)
     newrun = jnp.concatenate(
         [jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]])
-    rank = jnp.cumsum(newrun) - 1                     # sorted, 0-based
-    first = jnp.searchsorted(rank, jnp.arange(capacity), side="left")
-    uid = s_ids[jnp.minimum(first, M * S - 1)]        # (capacity,)
-    inv = rank[jnp.argsort(order)].reshape(M, S)      # rank per position
+    rank = (jnp.cumsum(newrun) - 1).astype(jnp.int32)  # sorted, 0-based
+    # unique-id table: run-start ids sorted by their rank land at the
+    # front in rank order; non-starts (key = capacity) and overflow
+    # starts (rank >= capacity) sort behind and are never referenced
+    k_uid = jnp.where(newrun, rank, cap32)
+    _, uid_full = jax.lax.sort((k_uid, s_ids), num_keys=1)
+    uid = uid_full[:capacity]
+    # inverse permutation: rank back in original position order
+    _, inv_flat = jax.lax.sort((pos, rank), num_keys=1)
+    inv = inv_flat.reshape(M, S)
     compact = cells[jnp.clip(uid, 0, n_super - 1)]    # (capacity, R)
     rows = compact[jnp.minimum(inv, capacity - 1)]
     return rows, inv < capacity
