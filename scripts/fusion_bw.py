@@ -11,10 +11,12 @@ list.
 
     python scripts/fusion_bw.py [batch] [n_scans]   # real TPU backend
 
-Bytes are HLO-shape bytes (out + operands), so gather-containing fusions
-overstate their traffic exactly like cost_analysis does — for those the
-GB/s column is an upper bound on achieved bandwidth; everything
-elementwise is exact.
+Bytes come in two flavors: RAW (out + full operands, like
+cost_analysis — overstates gather-containing fusions) and CORRECTED
+(gather/dynamic-slice table operands are re-billed at the bytes those
+ops actually produce, i.e. their output shapes).  The corrected GB/s
+column is the honest achieved bandwidth; fusions where raw >> corrected
+are gather-dominated and their ceiling is issue rate, not bytes.
 """
 
 import glob
@@ -58,8 +60,16 @@ def _shape_bytes(type_str):
 
 
 def parse_hlo(txt):
-    """-> {name: (out_bytes, opcode, operand_names, src, computation)}."""
+    """-> ({name: (out_bytes, opcode, operand_names, src, computation)},
+           {computation: {param_ordinal: gathered_out_bytes}})
+
+    The second map carries, per fused computation, how many bytes its
+    internal gather/dynamic-slice ops actually PRODUCE from each
+    parameter — used to re-bill gather-table operands at real traffic.
+    """
     insts = {}
+    gather_param_bytes = {}
+    calls_of = {}
     comp = None
     for line in txt.splitlines():
         mc = _COMP_RE.match(line)
@@ -73,8 +83,19 @@ def parse_hlo(txt):
         ops = re.findall(r"%([\w.\-]+)", rest.split("metadata=")[0])
         sm = _META_RE.search(line)
         src = f"{sm.group(1).split('/')[-1]}:{sm.group(2)}" if sm else "?"
-        insts[name] = (_shape_bytes(type_str), opcode, ops, src, comp)
-    return insts
+        out_b = _shape_bytes(type_str)
+        insts[name] = (out_b, opcode, ops, src, comp)
+        if opcode == "fusion":
+            cm = re.search(r"calls=%?([\w.\-]+)", rest)
+            if cm:
+                calls_of[name] = cm.group(1)
+        if opcode in ("gather", "dynamic-slice") and ops and comp:
+            pm = re.match(r"param_(\d+)", ops[0])
+            if pm:
+                d = gather_param_bytes.setdefault(comp, {})
+                k = int(pm.group(1))
+                d[k] = d.get(k, 0) + out_b
+    return insts, gather_param_bytes, calls_of
 
 
 def main(batch=16, n_scans=30):
@@ -93,7 +114,7 @@ def main(batch=16, n_scans=30):
     key = (cfg, None, jax.default_backend() != "cpu")
     run = replay._BATCH_RUNNERS[key]
     txt = run.lower(batch_state, batch_scans).compile().as_text()
-    insts = parse_hlo(txt)
+    insts, gpb, calls_of = parse_hlo(txt)
     print(f"HLO instructions parsed: {len(insts)}", flush=True)
 
     trace_dir = "/tmp/mmloam_bw_trace"
@@ -128,24 +149,38 @@ def main(batch=16, n_scans=30):
     for nm, d_us in dur.items():
         out_b, opcode, ops, src, _ = insts[nm]
         op_b = sum(insts[o][0] for o in ops if o in insts)
-        tot_b = (out_b + op_b) * cnt[nm]
-        rows.append((d_us, tot_b / (d_us * 1e-6) / 1e9 if d_us else 0.0,
-                     (out_b + op_b) / 2**20, cnt[nm], opcode, src, nm))
+        # corrected operand bytes: re-bill gather/dyn-slice table params
+        # of this fusion at the bytes those ops actually produce
+        corr_b = op_b
+        g = gpb.get(calls_of.get(nm, ""), {})
+        for ordinal, real in g.items():
+            if ordinal < len(ops) and ops[ordinal] in insts:
+                corr_b += min(real, insts[ops[ordinal]][0]) \
+                    - insts[ops[ordinal]][0]
+        if opcode in ("gather", "dynamic-slice") and ops \
+                and ops[0] in insts:
+            corr_b = op_b - insts[ops[0]][0] + min(out_b, insts[ops[0]][0])
+        raw = (out_b + op_b) * cnt[nm]
+        corr = (out_b + corr_b) * cnt[nm]
+        rows.append((d_us, corr / (d_us * 1e-6) / 1e9 if d_us else 0.0,
+                     raw / (d_us * 1e-6) / 1e9 if d_us else 0.0,
+                     (out_b + corr_b) / 2**20, cnt[nm], opcode, src, nm))
     rows.sort(reverse=True)
     matched = sum(r[0] for r in rows)
     print(f"matched device time: {matched/1e3:.1f} ms over {len(rows)} "
           f"instructions\n")
-    print(f"{'ms':>9} {'GB/s':>7} {'MB/exec':>8} {'n':>5}  op/source")
-    for d_us, gbps, mb, n, opcode, src, nm in rows[:40]:
-        print(f"{d_us/1e3:9.2f} {gbps:7.1f} {mb:8.2f} {n:5d}  "
-              f"{opcode:<12s} {src}  [{nm}]")
+    print(f"{'ms':>9} {'GB/s':>7} {'raw':>7} {'MB/exec':>8} {'n':>5}  "
+          "op/source  (GB/s = gather-corrected)")
+    for d_us, gbps, gbps_raw, mb, n, opcode, src, nm in rows[:40]:
+        print(f"{d_us/1e3:9.2f} {gbps:7.1f} {gbps_raw:7.1f} {mb:8.2f} "
+              f"{n:5d}  {opcode:<12s} {src}  [{nm}]")
 
     # aggregate achieved bandwidth by source line for the big picture
     agg = defaultdict(lambda: [0.0, 0.0])
-    for d_us, gbps, mb, n, opcode, src, nm in rows:
+    for d_us, gbps, gbps_raw, mb, n, opcode, src, nm in rows:
         agg[src][0] += d_us
         agg[src][1] += mb * n
-    print("\n== by source line (ms, implied GB/s) ==")
+    print("\n== by source line (ms, corrected GB/s) ==")
     for src, (d_us, mb) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:25]:
         print(f"{d_us/1e3:9.2f} ms {mb/1024/(d_us*1e-6+1e-12):7.1f} GB/s  "
               f"{src}")
